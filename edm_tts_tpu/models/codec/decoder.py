@@ -1,0 +1,68 @@
+"""Codec decoder: 50 Hz latents -> 16 kHz waveform via transposed convs.
+
+Architecture parity with the reference DAC decoder
+(/root/reference/edm_tts/models/dac/decoder.py:11-62): k=7 stem
+(1024 -> 1536), four DecoderBlocks halving channels while upsampling by
+rates (8,5,4,2) (each: Snake, ConvTranspose k=2*stride / pad=floor(stride/2)
+/ output_padding=stride%2, then 3 ResidualUnits dil 1/3/9), final Snake +
+k=7 conv to 1 channel + tanh. This stack runs at audio rate and is the RTF
+hot path; channels stay multiples of 128 until the last two blocks so the
+MXU stays fed, and bf16 compute is the default at inference.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from edm_tts_tpu.models.codec.layers import (
+    ResidualUnit,
+    Snake,
+    WNConv1d,
+    WNConvTranspose1d,
+)
+
+Array = jax.Array
+
+
+class DecoderBlock(nn.Module):
+    output_dim: int
+    stride: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = Snake()(x)
+        x = WNConvTranspose1d(
+            self.output_dim,
+            2 * self.stride,
+            stride=self.stride,
+            padding=math.floor(self.stride / 2),
+            output_padding=self.stride % 2,
+            dtype=self.dtype,
+        )(x)
+        x = ResidualUnit(self.output_dim, dilation=1, dtype=self.dtype)(x)
+        x = ResidualUnit(self.output_dim, dilation=3, dtype=self.dtype)(x)
+        x = ResidualUnit(self.output_dim, dilation=9, dtype=self.dtype)(x)
+        return x
+
+
+class Decoder(nn.Module):
+    channels: int = 1536
+    rates: Sequence[int] = (8, 5, 4, 2)
+    d_out: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, z: Array) -> Array:
+        """``(B, T50, latent_dim)`` -> ``(B, T50 * prod(rates), d_out)``."""
+        x = WNConv1d(self.channels, 7, padding=3, dtype=self.dtype)(z)
+        for i, stride in enumerate(self.rates):
+            x = DecoderBlock(self.channels // 2 ** (i + 1), stride, dtype=self.dtype)(x)
+        x = Snake()(x)
+        x = WNConv1d(self.d_out, 7, padding=3, dtype=self.dtype)(x)
+        return jnp.tanh(x)

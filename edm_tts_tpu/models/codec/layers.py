@@ -1,0 +1,152 @@
+"""Weight-normalized conv layers and residual units for the neural codec.
+
+TPU-native re-design of the reference DAC primitives
+(/root/reference/edm_tts/models/dac/nn_layers.py): channel-last activations,
+``(K, C_in, C_out)`` kernels, weight-norm as an explicit reparameterization
+(direction ``v`` + per-output-channel magnitude ``g``) fused by XLA into the
+conv operand, and the Snake activation expressed directly in jnp so it fuses
+into the conv epilogue.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from edm_tts_tpu.ops import conv1d, conv_transpose1d, snake, weight_norm
+
+Array = jax.Array
+
+
+def _fan_in_uniform(fan_in: int):
+    """torch conv default init: kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in))."""
+    bound = 1.0 / (fan_in**0.5)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+    return init
+
+
+def _g_from_v(v: Array) -> Array:
+    axes = tuple(range(v.ndim - 1))
+    return jnp.sqrt(jnp.sum(jnp.square(v), axis=axes))
+
+
+class WNConv1d(nn.Module):
+    """Weight-normalized 1D conv, channel-last. ``g`` is initialized to
+    ``||v||`` so the initial effective kernel equals ``v`` (torch parity)."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    groups: int = 1
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        in_features = x.shape[-1]
+        fan_in = (in_features // self.groups) * self.kernel_size
+        v = self.param(
+            "v",
+            _fan_in_uniform(fan_in),
+            (self.kernel_size, in_features // self.groups, self.features),
+        )
+        g = self.param("g", lambda key, _: _g_from_v(v), None)
+        kernel = weight_norm(v, g).astype(self.dtype)
+        bias = None
+        if self.use_bias:
+            bias = self.param(
+                "b", _fan_in_uniform(fan_in), (self.features,)
+            ).astype(self.dtype)
+        return conv1d(
+            x.astype(self.dtype),
+            kernel,
+            bias,
+            stride=self.stride,
+            padding=self.padding,
+            dilation=self.dilation,
+            groups=self.groups,
+        )
+
+
+class WNConvTranspose1d(nn.Module):
+    """Weight-normalized transposed 1D conv with torch length semantics."""
+
+    features: int
+    kernel_size: int
+    stride: int
+    padding: int = 0
+    output_padding: int = 0
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        in_features = x.shape[-1]
+        # torch ConvTranspose fan_in = C_out * K (weight dim 1 x receptive field)
+        fan_in = self.features * self.kernel_size
+        v = self.param(
+            "v",
+            _fan_in_uniform(fan_in),
+            (self.kernel_size, in_features, self.features),
+        )
+        # torch weight_norm(dim=0) on (C_in, C_out, K): norm over (out, k) per
+        # *input* channel -> in our (K, C_in, C_out) layout that is axes (0, 2).
+        norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=(0, 2), keepdims=True))
+        g = self.param(
+            "g", lambda key, _: jnp.sqrt(jnp.sum(jnp.square(v), axis=(0, 2))), None
+        )
+        kernel = (v * (g[None, :, None] / norm)).astype(self.dtype)
+        bias = None
+        if self.use_bias:
+            bias = self.param(
+                "b", _fan_in_uniform(fan_in), (self.features,)
+            ).astype(self.dtype)
+        return conv_transpose1d(
+            x.astype(self.dtype),
+            kernel,
+            bias,
+            stride=self.stride,
+            padding=self.padding,
+            output_padding=self.output_padding,
+        )
+
+
+class Snake(nn.Module):
+    """Trainable per-channel Snake activation (alpha initialized to 1)."""
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        alpha = self.param("alpha", nn.initializers.ones, (x.shape[-1],))
+        return snake(x, alpha.astype(x.dtype))
+
+
+class ResidualUnit(nn.Module):
+    """Snake -> dilated k=7 WNConv -> Snake -> k=1 WNConv, with residual."""
+
+    dim: int
+    dilation: int = 1
+    kernel_size: int = 7
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        pad = ((self.kernel_size - 1) * self.dilation) // 2
+        y = Snake()(x)
+        y = WNConv1d(
+            self.dim,
+            self.kernel_size,
+            padding=pad,
+            dilation=self.dilation,
+            dtype=self.dtype,
+        )(y)
+        y = Snake()(y)
+        y = WNConv1d(self.dim, 1, dtype=self.dtype)(y)
+        return x + y

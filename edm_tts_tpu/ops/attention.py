@@ -1,0 +1,66 @@
+"""Multi-head attention kernels.
+
+Replaces the reference's torch SDPA wrapper
+(/root/reference/edm_tts/models/conformer/attend.py). Sequences in this
+system are short (<= ~2.5k tokens), so the default path is
+``jax.nn.dot_product_attention`` — XLA:TPU fuses the softmax chain and tiles
+the two matmuls onto the MXU. A Pallas flash-attention kernel (block-wise
+online softmax, VMEM-resident tiles) lives in ``ops/pallas_attention.py`` and
+can be selected with ``implementation='pallas'`` for long-canvas decoding.
+
+Layout: ``(B, T, H, D)`` (batch, time, heads, head_dim), channel-last.
+Key-padding mask is a bool ``(B, T_k)`` (True = attend).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def mha(
+    q: Array,
+    k: Array,
+    v: Array,
+    *,
+    mask: Array | None = None,
+    implementation: str = "xla",
+) -> Array:
+    """Bidirectional multi-head attention.
+
+    Args:
+      q, k, v: ``(B, T, H, D)``.
+      mask: optional bool ``(B, T_k)`` key-padding mask, True = valid.
+      implementation: 'xla' (default) or 'pallas'.
+    Returns ``(B, T_q, H, D)``.
+    """
+    if implementation == "pallas":
+        from edm_tts_tpu.ops.pallas_attention import flash_mha
+
+        return flash_mha(q, k, v, mask=mask)
+
+    attn_mask = None
+    if mask is not None:
+        attn_mask = mask[:, None, None, :]  # (B, 1, 1, Tk) broadcast over heads/q
+    return jax.nn.dot_product_attention(
+        q, k, v, mask=attn_mask, implementation="xla"
+    )
+
+
+def mha_reference(
+    q: Array, k: Array, v: Array, *, mask: Array | None = None
+) -> Array:
+    """Plain einsum-softmax attention; numerical reference for kernel tests."""
+    d = q.shape[-1]
+    scale = d**-0.5
+    sim = jnp.einsum("bihd,bjhd->bhij", q, k) * scale
+    if mask is not None:
+        sim = jnp.where(mask[:, None, None, :], sim, NEG_INF)
+    attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhij,bjhd->bihd", attn, v)

@@ -1,0 +1,16 @@
+from edm_tts_tpu.parallel.mesh import (
+    DATA_AXIS,
+    FSDP_AXIS,
+    batch_sharding,
+    fsdp_sharding_for,
+    make_mesh,
+    param_shardings,
+    replicated,
+    shard_pytree,
+)
+from edm_tts_tpu.parallel.checkpoint import (
+    CheckpointManager,
+    detect_last_checkpoint,
+    export_model,
+    load_model_params,
+)
