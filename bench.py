@@ -1,0 +1,117 @@
+"""End-to-end zero-shot synthesis benchmark on the real chip.
+
+Measures the full pipeline at reference scale and NFE (BASELINE.md):
+t2s MaskGIT sampling (16 iters, d=384 12-layer Conformer) -> s2a sampling
+(8 level-0 steps + one full 16-layer d=1024 injection pass, with a 10 s
+speaker prompt) -> codec decode to waveform — randomly initialized weights
+(identical FLOPs/memory to trained ones), bf16, batch 1.
+
+Prints ONE JSON line: metric=e2e_rtf_per_chip (wall seconds of compute per
+second of generated audio; lower is better). vs_baseline is the BASELINE.md
+target RTF 0.05 divided by the measured RTF (>1 == beating the target).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    import numpy as np
+
+    from edm_tts_tpu.models.codec import CodecConfig
+    from edm_tts_tpu.models.s2a import InjectionConformer, S2AConfig, s2a_sample
+    from edm_tts_tpu.models.t2s import T2SConfig, TextToSemantic, t2s_sample
+
+    dtype = jnp.bfloat16
+
+    gen_seconds = 10.0
+    t_gen = int(gen_seconds * 50)  # 50 Hz tokens
+    t_prompt = 150  # 3 s speaker prompt
+    text_len = 100
+
+    codec_cfg = CodecConfig()
+    s2a_cfg = S2AConfig(codec=codec_cfg)
+    # t2s at the reference train-yaml size: hidden 384, 12 main layers
+    t2s_cfg = T2SConfig(hidden_size=384, main_encoder_num_layers=12)
+
+    rng = jax.random.PRNGKey(0)
+    s2a = InjectionConformer(s2a_cfg, dtype=dtype)
+    t2s = TextToSemantic(t2s_cfg, dtype=dtype)
+
+    s2a_params = jax.jit(
+        lambda r: s2a.init(
+            r,
+            jnp.zeros((1, 12, 8), jnp.int32),
+            jnp.zeros((1, 8), jnp.int32),
+            mask_rng=r,
+            train=False,
+        )
+    )(rng)
+    t2s_params = jax.jit(
+        lambda r: t2s.init(
+            r,
+            jnp.zeros((1, 16), jnp.int32),
+            jnp.ones((1, 16), bool),
+            jnp.zeros((1, 16), bool),
+            jnp.zeros((1, 4), jnp.int32),
+            jnp.ones((1, 4), bool),
+            jnp.ones((1,)),
+            mask_rng=r,
+            train=False,
+        )
+    )(rng)
+
+    text_tokens = jax.random.randint(rng, (1, text_len), 5, 261)
+    text_lengths = jnp.asarray([text_len], jnp.int32)
+    prompt_ac = jax.random.randint(rng, (1, 12, t_prompt), 0, 1024)
+    prompt_sem = jax.random.randint(rng, (1, t_prompt), 0, 1024)
+    gt_length = jnp.asarray([t_gen], jnp.int32)
+
+    decode = jax.jit(
+        lambda p, c: s2a.apply(p, c, method="decode_audio")
+    )
+
+    def pipeline(key):
+        k1, k2 = jax.random.split(key)
+        t2s_out = t2s_sample(
+            t2s, t2s_params, text_tokens, text_lengths, k1,
+            pred_iters=16, max_speech_len=t_gen, gt_length=gt_length,
+        )
+        semantic = t2s_out["semantic_tokens"]
+        codes = s2a_sample(
+            s2a, s2a_params, semantic, prompt_ac, prompt_sem, k2, steps=8
+        )
+        return decode(s2a_params, codes)
+
+    # warmup / compile
+    audio = pipeline(jax.random.PRNGKey(1))
+    jax.block_until_ready(audio)
+
+    n_runs = 5
+    t0 = time.perf_counter()
+    for i in range(n_runs):
+        audio = pipeline(jax.random.PRNGKey(2 + i))
+    jax.block_until_ready(audio)
+    dt = (time.perf_counter() - t0) / n_runs
+
+    rtf = dt / gen_seconds
+    target = 0.05
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_rtf_per_chip",
+                "value": round(rtf, 5),
+                "unit": "s_compute_per_s_audio",
+                "vs_baseline": round(target / rtf, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+"""End-to-end zero-shot TTS inference: text + speaker prompt wav -> wav.
+
+Same CLI surface as the reference (/root/reference/inference.py): tokenize
+the speaker prompt (aligned acoustic+semantic codes), run the t2s MaskGIT
+sampler (16 iters), the s2a sampler (8 level-0 steps + one full injection
+pass), decode with the codec, save 16 kHz wav. The three device stages are
+jitted lax.scan programs (bf16 by default on TPU).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-s", "--speaker_prompt", required=True)
+    ap.add_argument("-t", "--text", required=True)
+    ap.add_argument("-o", "--output", required=True)
+    ap.add_argument("--codec_model", default="exp/edm_tts/dac/best_model")
+    ap.add_argument("--t2s_model", default="exp/edm_tts/text_to_semantic_w_length/")
+    ap.add_argument("--s2a_model", default="exp/edm_tts/injection_conformer/")
+    ap.add_argument("--hubert_model", default="exp/edm_tts/hubert_semantic")
+    ap.add_argument("--pred_iters", type=int, default=16)
+    ap.add_argument("--s2a_steps", type=int, default=8)
+    ap.add_argument("--temperature", type=float, default=1.0)
+    ap.add_argument("--max_speech_len", type=int, default=1250)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    args = ap.parse_args()
+
+    from edm_tts_tpu.data.audio_io import load_audio, save_wav
+    from edm_tts_tpu.models.s2a import s2a_sample
+    from edm_tts_tpu.models.t2s import t2s_sample
+    from edm_tts_tpu.ops.resample import resample_numpy
+    from edm_tts_tpu.utils.hub import build_audio_tokenizer, load_s2a, load_t2s
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    tokenizer, codec_params, sem_params = build_audio_tokenizer(
+        args.codec_model, args.hubert_model, dtype=dtype
+    )
+    s2a_model, s2a_params = load_s2a(args.s2a_model, dtype=dtype)
+    t2s_model, t2s_params = load_t2s(args.t2s_model, dtype=dtype)
+
+    # 1. tokenize the speaker prompt
+    audio, sr = load_audio(args.speaker_prompt)
+    wav = audio[0]
+    if sr != tokenizer.sample_rate:
+        wav = resample_numpy(wav, sr, tokenizer.sample_rate)
+    prompt = tokenizer.compute_codes(codec_params, sem_params, wav[None])
+    prompt_acoustic = prompt["acoustic_codes"]  # (1, Q, Tp)
+    prompt_semantic = prompt["semantic_codes"]  # (1, Tp)
+
+    # 2. text -> semantic tokens
+    text_tokens = jnp.asarray(
+        [[b + 5 for b in args.text.encode("utf-8")]], jnp.int32
+    )
+    text_lengths = jnp.asarray([text_tokens.shape[1]], jnp.int32)
+    rng = jax.random.PRNGKey(args.seed)
+    k_t2s, k_s2a = jax.random.split(rng)
+    t2s_out = t2s_sample(
+        t2s_model, t2s_params, text_tokens, text_lengths, k_t2s,
+        pred_iters=args.pred_iters, temperature=args.temperature,
+        max_speech_len=args.max_speech_len,
+    )
+    n_sem = int(t2s_out["lengths"][0])
+    semantic_tokens = t2s_out["semantic_tokens"][:, :n_sem]
+
+    # 3. semantic -> acoustic codes (zero-shot, speaker prompt)
+    acoustic_codes = s2a_sample(
+        s2a_model, s2a_params, semantic_tokens,
+        prompt_acoustic, prompt_semantic, k_s2a,
+        steps=args.s2a_steps, temperature=args.temperature,
+    )
+
+    # 4. decode to waveform
+    audio_out = tokenizer.codec.apply(
+        codec_params, acoustic_codes, method="decode_from_codes"
+    )
+    wav_out = np.asarray(audio_out[0, : n_sem * tokenizer.downsample_factor, 0],
+                         dtype=np.float32)
+    save_wav(args.output, wav_out, tokenizer.sample_rate)
+    print(f"wrote {args.output}: {len(wav_out) / tokenizer.sample_rate:.2f}s")
+
+
+if __name__ == "__main__":
+    main()

@@ -7,7 +7,7 @@ Mesh/pjit sharding without TPU hardware.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +16,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# jax may already be imported by a pytest plugin before this conftest runs,
+# in which case the env var above came too late — but backends initialize
+# lazily, so forcing the config here still wins.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 # persistent compile cache makes repeated test runs fast
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
