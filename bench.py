@@ -52,6 +52,15 @@ def main():
             train=False,
         )
     )(rng)
+    # graft full codec params (decoder included) — the s2a training init only
+    # traces the quantizer; real flows load the codec checkpoint the same way
+    from edm_tts_tpu.models.codec import Codec
+
+    codec = Codec(codec_cfg, dtype=dtype)
+    codec_params = jax.jit(codec.init)(rng, jnp.zeros((1, 320, 1)))
+    s2a_params = {
+        "params": {**s2a_params["params"], "codec": codec_params["params"]}
+    }
     t2s_params = jax.jit(
         lambda r: t2s.init(
             r,
@@ -88,15 +97,15 @@ def main():
         )
         return decode(s2a_params, codes)
 
-    # warmup / compile
-    audio = pipeline(jax.random.PRNGKey(1))
-    jax.block_until_ready(audio)
+    # warmup / compile. NOTE: force a host transfer (np.asarray) rather than
+    # block_until_ready — the axon TPU backend's block_until_ready does not
+    # actually synchronize, which under-reports wall time ~100x.
+    audio = np.asarray(pipeline(jax.random.PRNGKey(1)))
 
     n_runs = 5
     t0 = time.perf_counter()
     for i in range(n_runs):
-        audio = pipeline(jax.random.PRNGKey(2 + i))
-    jax.block_until_ready(audio)
+        audio = np.asarray(pipeline(jax.random.PRNGKey(2 + i)))
     dt = (time.perf_counter() - t0) / n_runs
 
     rtf = dt / gen_seconds
