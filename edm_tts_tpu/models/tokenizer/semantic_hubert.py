@@ -32,7 +32,7 @@ class SemanticTokenizerHubert:
         dtype: Any = jnp.float32,
     ):
         self.config = config or HubertConfig()
-        self.output_layer = output_layer
+        self.output_layer = min(output_layer, self.config.num_hidden_layers)
         self.model = HubertModel(self.config, dtype=dtype)
         self.sample_rate = 16000
 

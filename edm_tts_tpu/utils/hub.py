@@ -59,6 +59,16 @@ def load_s2a(path: str, dtype=jnp.float32) -> tuple[InjectionConformer, dict]:
             train=False,
         )
     )
+    # the s2a training forward only touches the codec's quantizer; the saved
+    # checkpoint embeds the FULL frozen codec (encoder/decoder too, needed by
+    # decode_audio) — widen the template accordingly
+    codec = Codec(cfg.codec, dtype=dtype)
+    codec_template = jax.eval_shape(
+        lambda: codec.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, cfg.codec.hop_length, 1))
+        )
+    )
+    template["params"]["codec"] = codec_template["params"]
     params = load_model_params(path, template)
     return model, params
 
