@@ -40,7 +40,7 @@ class ConformerConfig:
     attn_dropout: float = 0.0
     ff_dropout: float = 0.0
     conv_dropout: float = 0.0
-    attn_implementation: str = "xla"
+    attn_implementation: str = "auto"
 
     @classmethod
     def from_reference_args(cls, dim: int, args: dict) -> "ConformerConfig":

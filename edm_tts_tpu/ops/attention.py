@@ -30,20 +30,28 @@ def mha(
     v: Array,
     *,
     mask: Array | None = None,
-    implementation: str = "xla",
+    implementation: str = "auto",
 ) -> Array:
     """Bidirectional multi-head attention.
 
     Args:
       q, k, v: ``(B, T, H, D)``.
       mask: optional bool ``(B, T_k)`` key-padding mask, True = valid.
-      implementation: 'xla' (default) or 'pallas'.
+      implementation: 'auto' (pallas on TPU, xla elsewhere), 'xla', 'pallas'.
     Returns ``(B, T_q, H, D)``.
     """
+    if implementation == "auto":
+        # measured on v5e: the Pallas kernel wins 1.65-1.8x at training shapes
+        # (many query rows amortize the grid), XLA fused attention wins at
+        # small batch-1 decode shapes
+        big = q.shape[0] * q.shape[1] >= 4096
+        implementation = (
+            "pallas" if (jax.default_backend() == "tpu" and big) else "xla"
+        )
     if implementation == "pallas":
-        from edm_tts_tpu.ops.pallas_attention import flash_mha
+        from edm_tts_tpu.ops.pallas_attention import flash_mha_diff
 
-        return flash_mha(q, k, v, mask=mask)
+        return flash_mha_diff(q, k, v, mask)
 
     attn_mask = None
     if mask is not None:
