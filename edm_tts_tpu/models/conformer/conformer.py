@@ -41,6 +41,7 @@ class ConformerConfig:
     ff_dropout: float = 0.0
     conv_dropout: float = 0.0
     attn_implementation: str = "auto"
+    remat: bool = False  # gradient checkpointing (reference conformer.py:220-230 hooks)
 
     @classmethod
     def from_reference_args(cls, dim: int, args: dict) -> "ConformerConfig":
@@ -204,8 +205,14 @@ class Conformer(nn.Module):
         train: bool = False,
     ) -> Array:
         rope = rope_frequencies(x.shape[-2], self.cfg.dim_head)
+
+        def apply_block(mdl, x, rope, mask):
+            return mdl(x, rope=rope, mask=mask, train=train)
+
+        if self.cfg.remat and train:
+            apply_block = nn.remat(apply_block)
         for i, block in enumerate(self.blocks):
-            x = block(x, rope=rope, mask=mask, train=train)
+            x = apply_block(block, x, rope, mask)
             if output_layer_idx is not None and i == output_layer_idx:
                 return x
         return x

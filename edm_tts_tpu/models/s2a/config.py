@@ -32,6 +32,7 @@ class S2AConfig:
     residual: bool = True
     use_injection: bool = True
     loss_all: bool = False
+    gradient_checkpointing: bool = False
     codec: CodecConfig = dataclasses.field(default_factory=CodecConfig)
 
     @property
@@ -46,6 +47,7 @@ class S2AConfig:
             attn_dropout=self.encoder_attn_dropout,
             ff_dropout=self.encoder_ff_dropout,
             conv_dropout=self.encoder_conv_dropout,
+            remat=self.gradient_checkpointing,
         )
 
     @property

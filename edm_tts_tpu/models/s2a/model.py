@@ -149,8 +149,16 @@ class InjectionConformer(nn.Module):
         coarse_outputs: list[Array] = []
         coarse_logits: list[Array] = []
 
+        import flax.linen as _nn
+
+        def apply_block(mdl, x, rope):
+            return mdl(x, rope=rope, train=train)
+
+        if cfg.gradient_checkpointing and train:
+            apply_block = _nn.remat(apply_block)
+
         for i, block in enumerate(self.blocks):
-            cur = block(x, rope=rope, train=train)
+            cur = apply_block(block, x, rope)
             if i in inj_layers:
                 idx = inj_layers.index(i)
                 residual = (

@@ -128,7 +128,8 @@ class GANTrainer:
         for step in range(start, args.max_steps):
             audio = jax.device_put(next(train_iter), self._batch_sharding)
             step_rng = jax.random.fold_in(rng, step)
-            self.g_state, self.d_state, metrics = gan_train_step(
+            with jax.profiler.StepTraceAnnotation("gan_train", step_num=step):
+                self.g_state, self.d_state, metrics = gan_train_step(
                 self.codec, self.disc, self.recon_loss,
                 self.g_state, self.d_state, audio, step_rng, self.lambdas,
             )

@@ -163,7 +163,8 @@ class Trainer:
             batch = next(train_iter)
             batch = jax.device_put(batch, self._batch_sharding)
             step_rng = jax.random.fold_in(rng, step)
-            self.state, metrics = self._train_step(self.state, batch, step_rng)
+            with jax.profiler.StepTraceAnnotation("train", step_num=step):
+                self.state, metrics = self._train_step(self.state, batch, step_rng)
 
             if (step + 1) % args.logging_steps == 0:
                 metrics = jax.device_get(metrics)

@@ -61,6 +61,19 @@ def main():
         "acoustic_model_path", model_cfg_d.pop("acoustic_model_path", None)
     )
     model_cfg_d.pop("acoustic_model_path", None)
+    # reference-style nested encoder_config -> flat S2AConfig fields
+    enc = model_cfg_d.pop("encoder_config", None) or {}
+    for src, dst in [
+        ("depth", "encoder_num_layers"),
+        ("heads", "encoder_num_heads"),
+        ("ff_mult", "encoder_ff_mult"),
+        ("conv_kernel_size", "encoder_conv_kernel_size"),
+        ("attn_dropout", "encoder_attn_dropout"),
+        ("ff_dropout", "encoder_ff_dropout"),
+        ("conv_dropout", "encoder_conv_dropout"),
+    ]:
+        if src in enc:
+            model_cfg_d[dst] = enc[src]
     cfg = S2AConfig.from_dict(model_cfg_d)
 
     # embed the frozen codec: load its exported params if available
