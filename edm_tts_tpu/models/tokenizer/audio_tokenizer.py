@@ -117,6 +117,21 @@ class AudioTokenizer:
             jnp.asarray(attention_mask) if attention_mask is not None else None,
         )
 
+    def compute_codes_from_file(
+        self, codec_params, semantic_params, file_path: str,
+        offset: int = 0, num_frames: int = -1,
+    ) -> dict:
+        """Load + resample an audio file and tokenize it (reference
+        ``compute_codes_from_file``, audio_tokenizer.py:91-101)."""
+        from edm_tts_tpu.data.audio_io import load_audio
+        from edm_tts_tpu.ops.resample import resample_numpy
+
+        audio, sr = load_audio(file_path, offset, num_frames)
+        wav = audio[0]
+        if sr != self.sample_rate:
+            wav = resample_numpy(wav, sr, self.sample_rate)
+        return self.compute_codes(codec_params, semantic_params, wav[None])
+
     def get_code_lengths(self, input_lengths) -> np.ndarray:
         """Token count for given (padded) audio lengths — the codec encoder
         conv-arithmetic walk (reference :80-89)."""

@@ -142,7 +142,7 @@ class GANTrainer:
                 logger.info("step %d G %.4f D %.4f", step + 1,
                             m.get("loss", 0.0), m.get("adv/disc_loss", 0.0))
             if eval_iter is not None and (step + 1) % args.eval_steps == 0:
-                val = self.evaluate(eval_iter)
+                val = self.evaluate(eval_iter, log_audio_step=step + 1)
                 self.metrics.log(step + 1, val, prefix="eval/")
                 if val["mel_loss"] < self.best_val_loss:
                     self.best_val_loss = val["mel_loss"]
@@ -155,12 +155,34 @@ class GANTrainer:
         self.save(min(step + 1, args.max_steps))
         return self.g_state, self.d_state
 
-    def evaluate(self, eval_iter: Iterable) -> dict:
+    def evaluate(self, eval_iter: Iterable, log_audio_step: int | None = None) -> dict:
         losses = []
+        last_recon = last_real = None
         for audio in eval_iter:
             audio = jax.device_put(audio, self._batch_sharding)
-            mel, _ = gan_eval_step(
+            mel, recon = gan_eval_step(
                 self.codec, self.recon_loss, self.g_state.params, audio
             )
             losses.append(float(mel))
+            last_recon, last_real = recon, audio
+        if log_audio_step is not None and last_recon is not None:
+            self._log_audio_samples(log_audio_step, last_real, last_recon)
         return {"mel_loss": float(np.mean(losses)) if losses else float("nan")}
+
+    def _log_audio_samples(self, step: int, real, recon):
+        """Write eval reconstruction samples as wavs (the wandb.Audio logging
+        analog — reference gan_trainer.py:250-265 logs the last gathered
+        batch; same here)."""
+        import os
+
+        from edm_tts_tpu.data.audio_io import save_wav
+
+        out_dir = os.path.join(self.args.output_dir, "samples", f"step_{step}")
+        os.makedirs(out_dir, exist_ok=True)
+        n = min(self.args.num_samples_to_log, np.asarray(recon).shape[0])
+        sr = self.codec.config.sample_rate
+        for i in range(n):
+            save_wav(os.path.join(out_dir, f"recon_{i}.wav"),
+                     np.asarray(recon)[i, :, 0], sr)
+            save_wav(os.path.join(out_dir, f"real_{i}.wav"),
+                     np.asarray(real)[i, :, 0], sr)
