@@ -129,24 +129,55 @@ class Snake(nn.Module):
 
 
 class ResidualUnit(nn.Module):
-    """Snake -> dilated k=7 WNConv -> Snake -> k=1 WNConv, with residual."""
+    """Snake -> dilated k=7 WNConv -> Snake -> k=1 WNConv, with residual.
+
+    Owns its parameters directly (same math as composing Snake/WNConv1d) so
+    the fused Pallas path (ops/pallas_resunit.py — single-pass VMEM-resident
+    kernel, the decoder RTF hot path) and the plain XLA composition share one
+    checkpoint layout. ``use_pallas='auto'`` picks the kernel on TPU for
+    k=7 units with MXU-friendly channel counts.
+    """
 
     dim: int
     dilation: int = 1
     kernel_size: int = 7
     dtype: Any = jnp.float32
+    use_pallas: str | bool = "auto"
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        pad = ((self.kernel_size - 1) * self.dilation) // 2
-        y = Snake()(x)
-        y = WNConv1d(
-            self.dim,
-            self.kernel_size,
-            padding=pad,
-            dilation=self.dilation,
-            dtype=self.dtype,
-        )(y)
-        y = Snake()(y)
-        y = WNConv1d(self.dim, 1, dtype=self.dtype)(y)
+        c = self.dim
+        k = self.kernel_size
+        alpha1 = self.param("alpha1", nn.initializers.ones, (c,))
+        v7 = self.param("conv7_v", _fan_in_uniform(c * k), (k, c, c))
+        g7 = self.param("conv7_g", lambda key, _: _g_from_v(v7), None)
+        b7 = self.param("conv7_b", _fan_in_uniform(c * k), (c,))
+        alpha2 = self.param("alpha2", nn.initializers.ones, (c,))
+        v1 = self.param("conv1_v", _fan_in_uniform(c), (1, c, c))
+        g1 = self.param("conv1_g", lambda key, _: _g_from_v(v1), None)
+        b1 = self.param("conv1_b", _fan_in_uniform(c), (c,))
+
+        w7 = weight_norm(v7, g7)
+        w1 = weight_norm(v1, g1)
+
+        use_pallas = self.use_pallas
+        if use_pallas == "auto":
+            use_pallas = (
+                jax.default_backend() == "tpu" and k == 7 and c <= 512
+            )
+        if use_pallas:
+            from edm_tts_tpu.ops.pallas_resunit import fused_residual_unit
+
+            return fused_residual_unit(
+                x, alpha1, w7, b7, alpha2, w1, b1, self.dilation
+            )
+
+        pad = ((k - 1) * self.dilation) // 2
+        y = snake(x, alpha1.astype(x.dtype))
+        y = conv1d(
+            y, w7.astype(self.dtype), b7.astype(self.dtype),
+            padding=pad, dilation=self.dilation,
+        )
+        y = snake(y, alpha2.astype(y.dtype))
+        y = conv1d(y, w1.astype(self.dtype), b1.astype(self.dtype))
         return x + y
