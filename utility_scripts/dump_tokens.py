@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--codec_model", required=True)
     ap.add_argument("--hubert_model", required=True)
     ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--segment_seconds", type=float, default=60.0,
+                    help="librilight window size (reference: 60 s)")
     ap.add_argument("--items_per_shard", type=int, default=1000)
     ap.add_argument("--max_items", type=int, default=-1)
     ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
@@ -58,7 +60,8 @@ def main():
     )
 
     if args.dataset == "librilight":
-        manifest = librilight_manifest(args.data_dir, args.subset)
+        manifest = librilight_manifest(args.data_dir, args.subset,
+                                       segment_seconds=args.segment_seconds)
     elif args.dataset == "libriheavy":
         manifest = libriheavy_manifest(args.data_dir, args.subset)
     else:
