@@ -251,6 +251,16 @@ class ResidualVQ(nn.Module):
         )
         return jnp.transpose(dists, (1, 2, 0, 3))
 
+    def continuous_to_quantized_features(self, latents: Array) -> Array:
+        """Full VQ pass on given ``(B, T, D)`` features -> summed quantized
+        features (reference :317-325; no dropout, no losses)."""
+        return self(latents)["z"]
+
+    def continuous_to_codes(self, latents: Array) -> Array:
+        """Full VQ pass on given ``(B, T, D)`` features -> ``(B, Q, T)`` codes
+        (reference :327-338)."""
+        return self(latents)["codes"]
+
     def get_projected_codebook(self, codebook_idx: int) -> Array:
         """Out-projected codebook table ``(N, D)`` for one level."""
         _, w_out = self._weights()

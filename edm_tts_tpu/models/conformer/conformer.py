@@ -94,6 +94,7 @@ class Attention(nn.Module):
         rope: Array | None = None,
         mask: Array | None = None,
         train: bool = False,
+        return_attn: bool = False,
     ) -> Array:
         b, t, _ = x.shape
         inner = self.heads * self.dim_head
@@ -107,9 +108,20 @@ class Attention(nn.Module):
             # reference applies RoPE per-head on (b h n d); ours is (b n h d)
             q = apply_rope(rope[:, None, :], q)
             k = apply_rope(rope[:, None, :], k)
-        out = mha(q, k, v, mask=mask, implementation=self.implementation)
+        attn = None
+        if return_attn:
+            # manual path returning the attention map (reference
+            # attend.py:117-178 einsum fallback)
+            sim = jnp.einsum("bihd,bjhd->bhij", q, k) * self.dim_head**-0.5
+            if mask is not None:
+                sim = jnp.where(mask[:, None, None, :], sim, -1e9)
+            attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1)
+            out = jnp.einsum("bhij,bjhd->bihd", attn.astype(q.dtype), v)
+        else:
+            out = mha(q, k, v, mask=mask, implementation=self.implementation)
         out = out.reshape(b, t, inner)
-        return nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
+        out = nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
+        return (out, attn) if return_attn else out
 
 
 class ChanLayerNorm(nn.Module):
@@ -169,21 +181,28 @@ class ConformerBlock(nn.Module):
         rope: Array | None = None,
         mask: Array | None = None,
         train: bool = False,
+        return_attn: bool = False,
     ) -> Array:
         c = self.cfg
         x = x + 0.5 * FeedForward(c.dim, c.ff_mult, c.ff_dropout, self.dtype,
                                   name="ff1")(nn.LayerNorm(dtype=self.dtype)(x), train=train)
-        x = x + Attention(
+        attn_out = Attention(
             c.dim, c.heads, c.dim_head, c.attn_dropout,
             implementation=c.attn_implementation, dtype=self.dtype, name="attn",
-        )(nn.LayerNorm(dtype=self.dtype)(x), rope=rope, mask=mask, train=train)
+        )(nn.LayerNorm(dtype=self.dtype)(x), rope=rope, mask=mask, train=train,
+          return_attn=return_attn)
+        attn_weights = None
+        if return_attn:
+            attn_out, attn_weights = attn_out
+        x = x + attn_out
         x = x + ConvModule(
             c.dim, c.conv_expansion_factor, c.conv_kernel_size, c.conv_dropout,
             self.dtype, name="conv",
         )(x, train=train)
         x = x + 0.5 * FeedForward(c.dim, c.ff_mult, c.ff_dropout, self.dtype,
                                   name="ff2")(nn.LayerNorm(dtype=self.dtype)(x), train=train)
-        return nn.LayerNorm(dtype=self.dtype, name="post_norm")(x)
+        x = nn.LayerNorm(dtype=self.dtype, name="post_norm")(x)
+        return (x, attn_weights) if return_attn else x
 
 
 class Conformer(nn.Module):
@@ -203,6 +222,7 @@ class Conformer(nn.Module):
         mask: Array | None = None,
         output_layer_idx: int | None = None,
         train: bool = False,
+        return_attn: bool = False,
     ) -> Array:
         rope = rope_frequencies(x.shape[-2], self.cfg.dim_head)
 
@@ -211,8 +231,14 @@ class Conformer(nn.Module):
 
         if self.cfg.remat and train:
             apply_block = nn.remat(apply_block)
+        attns = [] if return_attn else None
         for i, block in enumerate(self.blocks):
-            x = apply_block(block, x, rope, mask)
+            if return_attn:
+                x, attn = block(x, rope=rope, mask=mask, train=train,
+                                return_attn=True)
+                attns.append(attn)
+            else:
+                x = apply_block(block, x, rope, mask)
             if output_layer_idx is not None and i == output_layer_idx:
-                return x
-        return x
+                return (x, attns) if return_attn else x
+        return (x, attns) if return_attn else x

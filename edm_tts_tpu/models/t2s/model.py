@@ -102,11 +102,13 @@ class TextToSemantic(nn.Module):
         input_ids: Array,
         attention_mask: Array | None = None,
         output_layer_idx: int | None = None,
-    ) -> Array:
-        """Main-encoder hidden states (reference ``extract_features`` :163-182)."""
+        return_attn: bool = False,
+    ):
+        """Main-encoder hidden states, optionally with per-layer attention
+        maps (reference ``extract_features`` :163-182)."""
         return self.conformer(
             self.embed(input_ids), mask=attention_mask,
-            output_layer_idx=output_layer_idx,
+            output_layer_idx=output_layer_idx, return_attn=return_attn,
         )
 
     # -- training ------------------------------------------------------------
