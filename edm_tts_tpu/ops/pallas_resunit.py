@@ -42,18 +42,41 @@ def _resunit_ref(x, alpha1, w7, b7, alpha2, w1, b1, *, dilation):
 def _kernel(x_hbm, a1_ref, w7_ref, b7_ref, a2_ref, w1_ref, b1_ref, o_hbm,
             x_vmem, o_vmem, sem, out_sem, *, dilation: int, block_t: int,
             halo: int, window: int):
+    """Double-buffered: slot j%2 of x_vmem holds tile j's window; tile j+1's
+    DMA is issued before computing tile j; the output DMA of tile j is only
+    awaited two steps later (before its slot is reused)."""
     b = pl.program_id(0)
     j = pl.program_id(1)
-    # fetch tile + halo: x_hbm is pre-padded by `halo` on both sides, so the
-    # window for tile j starts at j*block_t; `window` is block_t + 2*halo
-    # rounded up to the sublane tiling (8)
-    cp = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(j * block_t, window), :], x_vmem, sem
-    )
-    cp.start()
-    cp.wait()
+    n_j = pl.num_programs(1)
+    slot = j % 2
+    nxt = (j + 1) % 2
 
-    x = x_vmem[:].astype(jnp.float32)
+    def in_cp(tile, s):
+        return pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(tile * block_t, window), :], x_vmem.at[s],
+            sem.at[s],
+        )
+
+    @pl.when(j == 0)
+    def _():
+        in_cp(0, 0).start()
+
+    @pl.when(j + 1 < n_j)
+    def _():
+        in_cp(j + 1, nxt).start()
+
+    in_cp(j, slot).wait()
+
+    # before writing o_vmem[slot], make sure its previous output DMA is done
+    @pl.when(j >= 2)
+    def _():
+        pltpu.make_async_copy(
+            o_vmem.at[slot],
+            o_hbm.at[b, pl.ds((j - 2) * block_t, block_t), :],
+            out_sem.at[slot],
+        ).wait()
+
+    x = x_vmem[slot].astype(jnp.float32)
     a1 = a1_ref[0].astype(jnp.float32)
     s = x + jnp.sin(a1 * x) ** 2 / (a1 + 1e-9)
 
@@ -74,12 +97,25 @@ def _kernel(x_hbm, a1_ref, w7_ref, b7_ref, a2_ref, w1_ref, b1_ref, o_hbm,
     ) + b1_ref[0].astype(jnp.float32)
 
     center = x[halo : halo + block_t, :]
-    o_vmem[:] = (center + y2).astype(o_vmem.dtype)
+    o_vmem[slot] = (center + y2).astype(o_vmem.dtype)
     out_cp = pltpu.make_async_copy(
-        o_vmem, o_hbm.at[b, pl.ds(j * block_t, block_t), :], out_sem
+        o_vmem.at[slot], o_hbm.at[b, pl.ds(j * block_t, block_t), :],
+        out_sem.at[slot],
     )
     out_cp.start()
-    out_cp.wait()
+
+    # drain pending output DMAs on the last step of this batch row
+    @pl.when(j == n_j - 1)
+    def _():
+        out_cp.wait()
+
+        @pl.when(n_j >= 2)
+        def _():
+            pltpu.make_async_copy(
+                o_vmem.at[nxt],
+                o_hbm.at[b, pl.ds((j - 1) * block_t, block_t), :],
+                out_sem.at[nxt],
+            ).wait()
 
 
 def _fused_forward(x, alpha1, w7, b7, alpha2, w1, b1, *, dilation,
@@ -132,10 +168,10 @@ def _fused_forward(x, alpha1, w7, b7, alpha2, w1, b1, *, dilation,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         scratch_shapes=[
-            pltpu.VMEM((window, c), x.dtype),
-            pltpu.VMEM((block_t, c), x.dtype),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, window, c), x.dtype),
+            pltpu.VMEM((2, block_t, c), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )(
         xp,
