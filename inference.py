@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--s2a_steps", type=int, default=8)
     ap.add_argument("--temperature", type=float, default=1.0)
     ap.add_argument("--max_speech_len", type=int, default=1250)
+    ap.add_argument("--gt_length", type=int, default=None,
+                    help="override the predicted speech length (tokens)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     args = ap.parse_args()
@@ -63,10 +65,11 @@ def main():
     text_lengths = jnp.asarray([text_tokens.shape[1]], jnp.int32)
     rng = jax.random.PRNGKey(args.seed)
     k_t2s, k_s2a = jax.random.split(rng)
+    gt = None if args.gt_length is None else jnp.asarray([args.gt_length])
     t2s_out = t2s_sample(
         t2s_model, t2s_params, text_tokens, text_lengths, k_t2s,
         pred_iters=args.pred_iters, temperature=args.temperature,
-        max_speech_len=args.max_speech_len,
+        max_speech_len=args.max_speech_len, gt_length=gt,
     )
     n_sem = int(t2s_out["lengths"][0])
     semantic_tokens = t2s_out["semantic_tokens"][:, :n_sem]
