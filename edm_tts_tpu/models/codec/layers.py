@@ -163,7 +163,7 @@ class ResidualUnit(nn.Module):
         use_pallas = self.use_pallas
         if use_pallas == "auto":
             use_pallas = (
-                jax.default_backend() == "tpu" and k == 7 and c <= 512
+                jax.default_backend() == "tpu" and k == 7 and c <= 768
             )
         if use_pallas:
             from edm_tts_tpu.ops.pallas_resunit import fused_residual_unit
