@@ -35,7 +35,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # (bq, T)
     if mask_ref is not None:
-        valid = mask_ref[0]  # (T,) bool
+        valid = mask_ref[0, 0]  # (T,) bool
         s = jnp.where(valid[None, :], s, NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
@@ -80,10 +80,12 @@ def flash_mha(
     ]
     args = [qf, kf, vf]
     if mask is not None:
+        # (B, 1, Tk): the singleton dim keeps the last-two-dims block shape
+        # aligned ((1, tk) == the array dims) for Mosaic
         in_specs.append(
-            pl.BlockSpec((1, tk), lambda i, j, h=h: (i // h, 0))
+            pl.BlockSpec((1, 1, tk), lambda i, j, h=h: (i // h, 0, 0))
         )
-        args.append(mask)
+        args.append(mask[:, None, :])
         kernel = functools.partial(_attn_kernel, scale=scale)
     else:
         kernel = functools.partial(
