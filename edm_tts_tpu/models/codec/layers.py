@@ -109,6 +109,10 @@ class WNConvTranspose1d(nn.Module):
             bias = self.param(
                 "b", _fan_in_uniform(fan_in), (self.features,)
             ).astype(self.dtype)
+        # note: a k=3 phase reformulation (ops.conv_transpose1d_phases) was
+        # measured SLOWER here — the (T, s*C) -> (T*s, C) reshape is a
+        # lane->sublane relayout that costs a full copy at audio rate; XLA's
+        # lhs-dilated lowering wins on TPU for these shapes
         return conv_transpose1d(
             x.astype(self.dtype),
             kernel,
