@@ -73,6 +73,23 @@ def test_conv_transpose1d_matches_torch(rng, cin, cout, stride):
     assert ours.shape[1] == (17 - 1) * stride - 2 * pad + k + outpad
 
 
+@pytest.mark.parametrize("stride", [8, 5, 4, 2])
+def test_conv_transpose_phase_reformulation(rng, stride):
+    """conv_transpose1d_phases == conv_transpose1d for k=2s codec blocks."""
+    from edm_tts_tpu.ops.convolution import conv_transpose1d_phases
+
+    k, pad, outpad = 2 * stride, stride // 2, stride % 2
+    x = jnp.asarray(rng.standard_normal((2, 17, 6)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((k, 6, 4)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(4).astype(np.float32))
+    a = conv_transpose1d(x, w, b, stride=stride, padding=pad,
+                         output_padding=outpad)
+    c = conv_transpose1d_phases(x, w, b, stride=stride, padding=pad,
+                                output_padding=outpad)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-4,
+                               rtol=1e-4)
+
+
 def test_weight_norm_matches_torch(rng):
     w = rng.standard_normal((7, 4, 8)).astype(np.float32)
     g = rng.standard_normal((8,)).astype(np.float32) ** 2 + 0.1
