@@ -141,9 +141,13 @@ def biquad_scan(b, a, x):
     )  # (..., T, 2)
 
     def combine(l, r):
+        # associative_scan passes batched slices: A (..., 2, 2), u (..., 2)
         al, ul = l
         ar, ur = r
-        return ar @ al, jnp.einsum("ij,...j->...i", ar, ul) + ur
+        return (
+            jnp.einsum("...ij,...jk->...ik", ar, al),
+            jnp.einsum("...ij,...j->...i", ar, ul) + ur,
+        )
 
     t = x.shape[-1]
     As = jnp.broadcast_to(A, (t, 2, 2))

@@ -117,6 +117,7 @@ class GANTrainer:
     ):
         args = self.args
         start = self._restore()
+        step = start
         rng = jax.random.PRNGKey(args.seed)
         t0 = time.time()
         t_limit = None
