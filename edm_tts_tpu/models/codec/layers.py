@@ -166,8 +166,14 @@ class ResidualUnit(nn.Module):
 
         use_pallas = self.use_pallas
         if use_pallas == "auto":
+            # bf16 only: it's the serving dtype, and f32 weights at C=768
+            # (7*768*768*4B = 16.5 MB) blow the 16 MB VMEM budget; training
+            # (f32) keeps the exact unfused composition anyway
             use_pallas = (
-                jax.default_backend() == "tpu" and k == 7 and c <= 768
+                jax.default_backend() == "tpu"
+                and k == 7
+                and c <= 768
+                and x.dtype == jnp.bfloat16
             )
         if use_pallas:
             from edm_tts_tpu.ops.pallas_resunit import fused_residual_unit
