@@ -39,6 +39,7 @@ class T2SConfig:
     length_predictor_attn_dropout: float = 0.0
     length_predictor_ff_dropout: float = 0.0
     length_predictor_conv_dropout: float = 0.0
+    gradient_checkpointing: bool = False
 
     @property
     def num_special_tokens(self) -> int:
@@ -65,6 +66,7 @@ class T2SConfig:
             attn_dropout=self.main_encoder_attn_dropout,
             ff_dropout=self.main_encoder_ff_dropout,
             conv_dropout=self.main_encoder_conv_dropout,
+            remat=self.gradient_checkpointing,
         )
 
     @property

@@ -101,7 +101,10 @@ def main():
         n_fsdp=raw.get("n_fsdp", 1),
     )
 
-    model = InjectionConformer(cfg)
+    import jax.numpy as _jnp
+
+    dtype = _jnp.bfloat16 if raw.get("bf16", True) else _jnp.float32
+    model = InjectionConformer(cfg, dtype=dtype)
     segment_frames = int(
         raw.get("training_segment_length", 15.36)
         * cfg.codec.sample_rate

@@ -68,7 +68,10 @@ def main():
         n_fsdp=raw.get("n_fsdp", 1),
     )
 
-    model = TextToSemantic(cfg)
+    import jax.numpy as _jnp
+
+    dtype = _jnp.bfloat16 if raw.get("bf16", True) else _jnp.float32
+    model = TextToSemantic(cfg, dtype=dtype)
     b, l, lt = 1, 64, 16
     params = jax.jit(
         lambda r: model.init(
