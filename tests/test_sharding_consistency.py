@@ -1,0 +1,92 @@
+"""Sharding consistency: the same train step must produce the same loss and
+updated params on (data=1), (data=4, fsdp=1) and (data=2, fsdp=2) meshes —
+the ZeRO/DDP-equivalence guarantee of the pjit design. Also determinism:
+same seed -> bit-identical metrics (the reference's set_seed story, made
+stronger by threaded PRNG keys)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training import train_state
+
+from edm_tts_tpu.models.codec import CodecConfig
+from edm_tts_tpu.models.s2a import InjectionConformer, S2AConfig
+from edm_tts_tpu.parallel.mesh import batch_sharding, make_mesh, param_shardings
+
+TINY = S2AConfig(
+    hidden_size=32, num_semantic_tokens=16, encoder_num_heads=4,
+    encoder_num_layers=2, injection_layers=(1,),
+    encoder_attn_dropout=0.0, encoder_ff_dropout=0.0, encoder_conv_dropout=0.0,
+    codec=CodecConfig(encoder_dim=4, decoder_dim=32, n_codebooks=4,
+                      codebook_size=16, codebook_dim=4),
+)
+
+
+def _run_step(mesh, params, ac, sem):
+    tx = optax.adam(1e-3)
+    state = train_state.TrainState.create(apply_fn=None, params=params, tx=tx)
+    state = jax.tree_util.tree_map(
+        lambda p, s: jax.device_put(p, s), state,
+        param_shardings(mesh, state, min_size=2**8),
+    )
+    model = InjectionConformer(TINY)
+    ac = jax.device_put(ac, batch_sharding(mesh))
+    sem = jax.device_put(sem, batch_sharding(mesh))
+
+    @jax.jit
+    def step(state, ac, sem):
+        def loss_fn(p):
+            out = model.apply(p, ac, sem, mask_rng=jax.random.PRNGKey(7),
+                              train=False)
+            return out["loss"]
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads=grads), loss
+
+    with mesh:
+        state, loss = step(state, ac, sem)
+    return float(loss), jax.device_get(state.params)
+
+
+def test_dp_fsdp_single_device_agree():
+    model = InjectionConformer(TINY)
+    ac = jax.random.randint(jax.random.PRNGKey(0), (4, 4, 16), 0, 16)
+    sem = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0, 16)
+    params = jax.jit(
+        lambda r: model.init(r, ac[:1, :, :8], sem[:1, :8], mask_rng=r,
+                             train=False)
+    )(jax.random.PRNGKey(2))
+
+    devices = jax.devices()
+    loss_1, p_1 = _run_step(make_mesh(1, 1, devices=devices[:1]), params, ac, sem)
+    loss_dp, p_dp = _run_step(make_mesh(4, 1, devices=devices[:4]), params, ac, sem)
+    loss_mix, p_mix = _run_step(make_mesh(2, 2, devices=devices[:4]), params, ac, sem)
+
+    assert abs(loss_1 - loss_dp) < 1e-5
+    assert abs(loss_1 - loss_mix) < 1e-5
+    for a, b in zip(jax.tree_util.tree_leaves(p_1),
+                    jax.tree_util.tree_leaves(p_dp)):
+        np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p_1),
+                    jax.tree_util.tree_leaves(p_mix)):
+        np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+
+def test_train_step_deterministic():
+    model = InjectionConformer(TINY)
+    ac = jax.random.randint(jax.random.PRNGKey(3), (2, 4, 16), 0, 16)
+    sem = jax.random.randint(jax.random.PRNGKey(4), (2, 16), 0, 16)
+    params = jax.jit(
+        lambda r: model.init(r, ac[:1, :, :8], sem[:1, :8], mask_rng=r,
+                             train=False)
+    )(jax.random.PRNGKey(5))
+
+    fwd = jax.jit(
+        lambda p, a, s, r: model.apply(p, a, s, mask_rng=r, train=False)["loss"]
+    )
+    l1 = float(fwd(params, ac, sem, jax.random.PRNGKey(6)))
+    l2 = float(fwd(params, ac, sem, jax.random.PRNGKey(6)))
+    assert l1 == l2  # bit-identical under the same key
