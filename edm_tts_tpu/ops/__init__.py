@@ -2,6 +2,7 @@ from edm_tts_tpu.ops.convolution import (
     conv1d,
     conv1d_output_length,
     conv_transpose1d,
+    conv_transpose1d_phases,
     encoder_output_length,
     weight_norm,
 )
@@ -14,3 +15,11 @@ from edm_tts_tpu.ops.masking import (
     sampling_mask_ratios,
 )
 from edm_tts_tpu.ops.attention import mha, mha_reference
+
+# heavier ops are intentionally NOT imported eagerly (keep import light):
+# - edm_tts_tpu.ops.spectral: stft / spectrogram / mel_spectrogram / mel_filterbank
+# - edm_tts_tpu.ops.resample: resample / resample_numpy
+# - edm_tts_tpu.ops.loudness: integrated_loudness / normalize_loudness / biquad_scan
+# - edm_tts_tpu.ops.kmeans: kmeans
+# - edm_tts_tpu.ops.pallas_attention: flash_mha / flash_mha_diff
+# - edm_tts_tpu.ops.pallas_resunit: fused_residual_unit
