@@ -19,7 +19,10 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("-s", "--speaker_prompt", required=True)
-    ap.add_argument("-t", "--text", required=True)
+    ap.add_argument("-t", "--text", default=None)
+    ap.add_argument("--text_file", default=None,
+                    help="batch mode: one utterance per line -> "
+                         "<output stem>_<i>.wav")
     ap.add_argument("-o", "--output", required=True)
     ap.add_argument("--codec_model", default="exp/edm_tts/dac/best_model")
     ap.add_argument("--t2s_model", default="exp/edm_tts/text_to_semantic_w_length/")
@@ -58,37 +61,56 @@ def main():
     prompt_acoustic = prompt["acoustic_codes"]  # (1, Q, Tp)
     prompt_semantic = prompt["semantic_codes"]  # (1, Tp)
 
-    # 2. text -> semantic tokens
+    # 2. collect utterances (single or batch mode)
+    if args.text_file:
+        with open(args.text_file) as f:
+            texts = [l.strip() for l in f if l.strip()]
+    elif args.text is not None:
+        texts = [args.text]
+    else:
+        ap.error("one of --text / --text_file is required")
+
+    b = len(texts)
+    byte_seqs = [[c + 5 for c in t.encode("utf-8")] for t in texts]
+    lt = max(len(s) for s in byte_seqs)
     text_tokens = jnp.asarray(
-        [[b + 5 for b in args.text.encode("utf-8")]], jnp.int32
+        [s + [0] * (lt - len(s)) for s in byte_seqs], jnp.int32
     )
-    text_lengths = jnp.asarray([text_tokens.shape[1]], jnp.int32)
+    text_lengths = jnp.asarray([len(s) for s in byte_seqs], jnp.int32)
     rng = jax.random.PRNGKey(args.seed)
     k_t2s, k_s2a = jax.random.split(rng)
-    gt = None if args.gt_length is None else jnp.asarray([args.gt_length])
+    gt = None
+    if args.gt_length is not None:
+        gt = jnp.full((b,), args.gt_length, jnp.int32)
+
+    # 3. text -> semantic tokens (batched MaskGIT)
     t2s_out = t2s_sample(
         t2s_model, t2s_params, text_tokens, text_lengths, k_t2s,
         pred_iters=args.pred_iters, temperature=args.temperature,
         max_speech_len=args.max_speech_len, gt_length=gt,
     )
-    n_sem = int(t2s_out["lengths"][0])
-    semantic_tokens = t2s_out["semantic_tokens"][:, :n_sem]
+    lengths = np.asarray(t2s_out["lengths"])
+    n_max = int(lengths.max())
+    semantic_tokens = t2s_out["semantic_tokens"][:, :n_max]
 
-    # 3. semantic -> acoustic codes (zero-shot, speaker prompt)
+    # 4. semantic -> acoustic codes (zero-shot, speaker prompt broadcast)
     acoustic_codes = s2a_sample(
         s2a_model, s2a_params, semantic_tokens,
-        prompt_acoustic, prompt_semantic, k_s2a,
-        steps=args.s2a_steps, temperature=args.temperature,
+        jnp.broadcast_to(prompt_acoustic, (b, *prompt_acoustic.shape[1:])),
+        jnp.broadcast_to(prompt_semantic, (b, *prompt_semantic.shape[1:])),
+        k_s2a, steps=args.s2a_steps, temperature=args.temperature,
     )
 
-    # 4. decode to waveform
-    audio_out = tokenizer.codec.apply(
+    # 5. decode to waveforms
+    audio_out = np.asarray(tokenizer.codec.apply(
         codec_params, acoustic_codes, method="decode_from_codes"
-    )
-    wav_out = np.asarray(audio_out[0, : n_sem * tokenizer.downsample_factor, 0],
-                         dtype=np.float32)
-    save_wav(args.output, wav_out, tokenizer.sample_rate)
-    print(f"wrote {args.output}: {len(wav_out) / tokenizer.sample_rate:.2f}s")
+    ), dtype=np.float32)
+    stem, ext = (args.output.rsplit(".", 1) + ["wav"])[:2]
+    for i in range(b):
+        n = int(lengths[i]) * tokenizer.downsample_factor
+        out_path = args.output if b == 1 else f"{stem}_{i}.{ext}"
+        save_wav(out_path, audio_out[i, :n, 0], tokenizer.sample_rate)
+        print(f"wrote {out_path}: {n / tokenizer.sample_rate:.2f}s")
 
 
 if __name__ == "__main__":
