@@ -72,7 +72,9 @@ def main():
 
     b = len(texts)
     byte_seqs = [[c + 5 for c in t.encode("utf-8")] for t in texts]
-    lt = max(len(s) for s in byte_seqs)
+    # bucket the text length to a multiple of 32 so repeated invocations with
+    # different texts reuse the jitted sampler (static-shape canvas)
+    lt = -(-max(len(s) for s in byte_seqs) // 32) * 32
     text_tokens = jnp.asarray(
         [s + [0] * (lt - len(s)) for s in byte_seqs], jnp.int32
     )
