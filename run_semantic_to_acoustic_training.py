@@ -125,6 +125,13 @@ def main():
             "params": {**params["params"], "codec": codec_params["params"]}
         }
 
+    # optional warm start from an exported s2a model dir (the reference's
+    # strict safetensors warm-start, run_semantic_to_acoustic_training.py:192-196)
+    if raw.get("warm_start_model"):
+        from edm_tts_tpu.parallel.checkpoint import load_model_params
+
+        params = load_model_params(raw["warm_start_model"], params)
+
     frozen = freeze_subtree_mask(params, "codec")
 
     def loss_fn(p, batch, rng):
