@@ -102,7 +102,7 @@ def main():
     # actually synchronize, which under-reports wall time ~100x.
     audio = np.asarray(pipeline(jax.random.PRNGKey(1)))
 
-    n_runs = 7
+    n_runs = 15
     times = []
     for i in range(n_runs):
         t0 = time.perf_counter()
