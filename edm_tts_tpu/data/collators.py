@@ -170,4 +170,10 @@ def collate_dump_batch(
         "code_lengths": code_lengths,
         "transcriptions": [w.get("transcription") for w in windows],
         "transcription_bytes": [w.get("transcription_bytes") for w in windows],
+        "no_punc_transcriptions": [
+            w.get("no_punc_transcription") for w in windows
+        ],
+        "no_punc_transcription_bytes": [
+            w.get("no_punc_transcription_bytes") for w in windows
+        ],
     }

@@ -44,6 +44,8 @@ class TokenShardWriter:
         semantic_codes: np.ndarray,
         text: str | None = None,
         text_bytes: list[int] | None = None,
+        no_punc_text: str | None = None,
+        no_punc_text_bytes: list[int] | None = None,
     ):
         a = np.ascontiguousarray(acoustic_codes, dtype=np.int16)
         s = np.ascontiguousarray(semantic_codes, dtype=np.int16).reshape(-1)
@@ -62,6 +64,10 @@ class TokenShardWriter:
             rec["text"] = text
         if text_bytes is not None:
             rec["text_bytes"] = list(map(int, text_bytes))
+        if no_punc_text is not None:
+            rec["no_punc_text"] = no_punc_text
+        if no_punc_text_bytes is not None:
+            rec["no_punc_text_bytes"] = list(map(int, no_punc_text_bytes))
         self._index.append(rec)
         if len(self._index) >= self.items_per_shard:
             self.flush()
@@ -107,6 +113,10 @@ def iter_token_shards(shard_dir: str) -> Iterator[dict]:
                 out["transcription"] = rec["text"]
             if "text_bytes" in rec:
                 out["transcription_bytes"] = rec["text_bytes"]
+            if "no_punc_text" in rec:
+                out["no_punc_transcription"] = rec["no_punc_text"]
+            if "no_punc_text_bytes" in rec:
+                out["no_punc_transcription_bytes"] = rec["no_punc_text_bytes"]
             yield out
 
 

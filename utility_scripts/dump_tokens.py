@@ -111,6 +111,8 @@ def _process(windows, tokenizer, codec_params, sem_params, writer, collate):
             semantic[i, :n].astype(np.int16),
             text=batch["transcriptions"][i],
             text_bytes=batch["transcription_bytes"][i],
+            no_punc_text=batch["no_punc_transcriptions"][i],
+            no_punc_text_bytes=batch["no_punc_transcription_bytes"][i],
         )
     return len(batch["ids"])
 
