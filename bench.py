@@ -2,9 +2,9 @@
 
 Measures the full pipeline at reference scale and NFE (BASELINE.md):
 t2s MaskGIT sampling (16 iters, d=384 12-layer Conformer) -> s2a sampling
-(8 level-0 steps + one full 16-layer d=1024 injection pass, with a 10 s
-speaker prompt) -> codec decode to waveform — randomly initialized weights
-(identical FLOPs/memory to trained ones), bf16, batch 1.
+(8 level-0 steps + one full 16-layer d=1024 injection pass, with a 3 s
+speaker prompt = 150 tokens) -> codec decode of 10 s of audio — randomly
+initialized weights (identical FLOPs/memory to trained ones), bf16, batch 1.
 
 Prints ONE JSON line: metric=e2e_rtf_per_chip (wall seconds of compute per
 second of generated audio; lower is better). vs_baseline is the BASELINE.md

@@ -93,13 +93,16 @@ def load_model_params(path: str, template: Any | None = None) -> Any:
     return ckptr.restore(os.path.join(os.path.abspath(path), "params"), template)
 
 
-def detect_last_checkpoint(output_dir: str) -> int | None:
+def detect_last_checkpoint(
+    output_dir: str, overwrite_output_dir: bool = False
+) -> int | None:
     """Return the latest checkpoint step in ``output_dir`` or None.
 
     Mirrors reference ``detect_last_checkpoint`` (utils.py:30-46) semantics:
-    raises if the dir is non-empty but contains no checkpoints (protects
-    against accidental overwrite)."""
-    if not os.path.isdir(output_dir):
+    raises ValueError if the dir is non-empty but contains no checkpoints
+    (protects against accidentally overwriting a previous run's artifacts),
+    unless ``overwrite_output_dir`` is set."""
+    if overwrite_output_dir or not os.path.isdir(output_dir):
         return None
     steps = []
     for name in os.listdir(output_dir):
@@ -108,4 +111,10 @@ def detect_last_checkpoint(output_dir: str) -> int | None:
             steps.append(int(m.group(1)))
     if steps:
         return max(steps)
+    if len(os.listdir(output_dir)) > 0:
+        raise ValueError(
+            f"Output directory ({output_dir}) already exists and is not "
+            "empty. Set overwrite_output_dir=True to overcome (reference "
+            "utils.py:34-38)."
+        )
     return None

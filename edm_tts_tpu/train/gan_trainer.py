@@ -20,7 +20,11 @@ import jax
 import numpy as np
 
 from edm_tts_tpu.models.codec.losses import ReconstructionLoss
-from edm_tts_tpu.parallel.checkpoint import CheckpointManager, export_model
+from edm_tts_tpu.parallel.checkpoint import (
+    CheckpointManager,
+    detect_last_checkpoint,
+    export_model,
+)
 from edm_tts_tpu.parallel.mesh import batch_sharding, make_mesh, param_shardings
 from edm_tts_tpu.train.gan import TrainState, gan_eval_step, gan_train_step
 from edm_tts_tpu.train.optim import adamw, exponential_schedule
@@ -81,6 +85,9 @@ class GANTrainer:
         self.d_state = jax.tree_util.tree_map(
             jax.device_put, d_state, param_shardings(self.mesh, d_state)
         )
+        # Accidental-overwrite guard BEFORE any artifact is created in
+        # output_dir (reference utils.py:30-46 semantics).
+        detect_last_checkpoint(args.output_dir, args.overwrite_output_dir)
         self.ckpt = CheckpointManager(args.output_dir, args.save_total_limit)
         self.metrics = MetricLogger(args.output_dir)
         self._batch_sharding = batch_sharding(self.mesh)

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import optax
 from flax.training import train_state
 
-from edm_tts_tpu.parallel.checkpoint import CheckpointManager
+from edm_tts_tpu.parallel.checkpoint import CheckpointManager, detect_last_checkpoint
 from edm_tts_tpu.parallel.mesh import batch_sharding, make_mesh, param_shardings
 from edm_tts_tpu.train.optim import adamw, warmup_cosine_schedule
 from edm_tts_tpu.utils.logging import MetricLogger, logger
@@ -108,6 +108,10 @@ class Trainer:
         )
         self.loss_fn = loss_fn
         self.eval_fn = eval_fn
+        # Accidental-overwrite guard BEFORE any artifact is created in
+        # output_dir (reference calls detect_last_checkpoint in the entry
+        # script ahead of Trainer construction, utils.py:30-46).
+        detect_last_checkpoint(args.output_dir, args.overwrite_output_dir)
         self.ckpt = CheckpointManager(args.output_dir, args.save_total_limit)
         self.metrics = MetricLogger(args.output_dir)
         self._batch_sharding = batch_sharding(self.mesh)

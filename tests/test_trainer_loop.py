@@ -100,6 +100,21 @@ def test_train_resume_and_metrics(tmp_path):
     assert all(np.isfinite(l.get("train/loss", 0.0)) for l in lines)
 
 
+def test_nonempty_dir_without_checkpoints_raises(tmp_path):
+    """Reference utils.py:30-46: a non-empty output dir with no checkpoints
+    raises (accidental-overwrite guard) unless overwrite_output_dir."""
+    from edm_tts_tpu.parallel.checkpoint import detect_last_checkpoint
+
+    d = tmp_path / "out"
+    d.mkdir()
+    (d / "stale.txt").write_text("x")
+    with pytest.raises(ValueError):
+        detect_last_checkpoint(str(d))
+    assert detect_last_checkpoint(str(d), overwrite_output_dir=True) is None
+    (d / "checkpoint_5").mkdir()
+    assert detect_last_checkpoint(str(d)) == 5
+
+
 def test_code_batch_iterator_shapes(tmp_path):
     import run_semantic_to_acoustic_training as s2a_run
 
