@@ -48,3 +48,56 @@ def test_pallas_mha_ragged_block():
     ref = mha_reference(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
                                rtol=1e-4)
+
+
+def _grad_check(key, t, mask=None, block_q=16):
+    """Pallas custom-VJP grads vs autodiff through the einsum reference."""
+    from edm_tts_tpu.ops.pallas_attention import flash_mha_diff
+
+    q, k, v = _qkv(key, t=t)
+    g_seed = jax.random.normal(jax.random.fold_in(key, 7), q.shape) * 0.3
+
+    def loss_pallas(q, k, v):
+        return jnp.sum(flash_mha_diff(q, k, v, mask, block_q, True) * g_seed)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(mha_reference(q, k, v, mask=mask) * g_seed)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gp, gr, "q k v".split()):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-3,
+            err_msg=f"d{name} mismatch",
+        )
+
+
+def test_pallas_mha_grads_match_reference():
+    _grad_check(jax.random.PRNGKey(4), t=24)
+
+
+def test_pallas_mha_grads_masked():
+    mask = jnp.arange(24)[None, :] < jnp.array([[17], [24]])
+    _grad_check(jax.random.PRNGKey(5), t=24, mask=mask)
+
+
+def test_pallas_mha_grads_ragged_multiblock():
+    """Padding paths of BOTH backward kernels (t=35, blocks of 16)."""
+    mask = jnp.arange(35)[None, :] < jnp.array([[30], [35]])
+    _grad_check(jax.random.PRNGKey(6), t=35, mask=mask)
+
+
+def test_pallas_masked_keys_get_zero_grads():
+    """k/v grads at padded key positions must be exactly zero (those
+    positions cannot influence the masked forward)."""
+    from edm_tts_tpu.ops.pallas_attention import flash_mha_diff
+
+    q, k, v = _qkv(jax.random.PRNGKey(8), t=24)
+    mask = jnp.arange(24)[None, :] < jnp.array([[16], [24]])
+
+    def loss(q, k, v):
+        return jnp.sum(flash_mha_diff(q, k, v, mask, 16, True))
+
+    _, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    assert np.all(np.asarray(dk)[0, 16:] == 0)
+    assert np.all(np.asarray(dv)[0, 16:] == 0)
