@@ -24,8 +24,8 @@ def main():
     import numpy as np
 
     from edm_tts_tpu.models.codec import CodecConfig
-    from edm_tts_tpu.models.s2a import InjectionConformer, S2AConfig, s2a_sample
-    from edm_tts_tpu.models.t2s import T2SConfig, TextToSemantic, t2s_sample
+    from edm_tts_tpu.models.s2a import InjectionConformer, S2AConfig
+    from edm_tts_tpu.models.t2s import T2SConfig, TextToSemantic
 
     dtype = jnp.bfloat16
 
@@ -81,21 +81,19 @@ def main():
     prompt_sem = jax.random.randint(rng, (1, t_prompt), 0, 1024)
     gt_length = jnp.asarray([t_gen], jnp.int32)
 
-    decode = jax.jit(
-        lambda p, c: s2a.apply(p, c, method="decode_audio")
-    )
+    from edm_tts_tpu.pipeline import e2e_synthesize
 
     def pipeline(key):
-        k1, k2 = jax.random.split(key)
-        t2s_out = t2s_sample(
-            t2s, t2s_params, text_tokens, text_lengths, k1,
-            pred_iters=16, max_speech_len=t_gen, gt_length=gt_length,
+        # ONE device dispatch: t2s -> s2a -> decode fused into a single
+        # jitted program (edm_tts_tpu/pipeline.py), no host syncs between
+        # stages. Saves ~2 tunnel dispatches (~4 ms each) per utterance.
+        out = e2e_synthesize(
+            t2s, s2a, t2s_params, s2a_params, text_tokens, text_lengths,
+            prompt_ac, prompt_sem, key,
+            pred_iters=16, steps=8, max_speech_len=t_gen, gt_length=gt_length,
+            assume_full_canvas=True,
         )
-        semantic = t2s_out["semantic_tokens"]
-        codes = s2a_sample(
-            s2a, s2a_params, semantic, prompt_ac, prompt_sem, k2, steps=8
-        )
-        return decode(s2a_params, codes)
+        return out["audio"]
 
     # warmup / compile. NOTE: force a host transfer (np.asarray) rather than
     # block_until_ready — the axon TPU backend's block_until_ready does not

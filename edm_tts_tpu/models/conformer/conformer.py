@@ -146,13 +146,23 @@ class ConvModule(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, *, train: bool = False) -> Array:
+    def __call__(
+        self, x: Array, *, pad_mask: Array | None = None, train: bool = False
+    ) -> Array:
         inner = self.dim * self.expansion_factor
         k = self.kernel_size
         x = nn.LayerNorm(dtype=self.dtype)(x)
         x = nn.Dense(2 * inner, dtype=self.dtype, name="pw_in")(x)
         gate, val = x[..., inner:], x[..., :inner]
         x = val * jax.nn.sigmoid(gate)  # GLU (torch chunks: first half = out)
+        if pad_mask is not None:
+            # zero invalid positions right before the only cross-position op:
+            # the depthwise conv then sees exactly the zeros that "same"
+            # padding would supply at a true sequence edge, making a padded
+            # canvas bit-identical to an exact-size one at valid positions.
+            # (Inference-only extension: the reference never masks the conv —
+            # its inference canvases are always exact-size, batch 1.)
+            x = jnp.where(pad_mask[:, :, None], x, 0)
         # depthwise conv, same padding: (k//2, k//2 - (k+1)%2)
         pad = (k // 2, k // 2 - (k + 1) % 2)
         dw = self.param(
@@ -180,6 +190,7 @@ class ConformerBlock(nn.Module):
         *,
         rope: Array | None = None,
         mask: Array | None = None,
+        conv_pad_mask: Array | None = None,
         train: bool = False,
         return_attn: bool = False,
     ) -> Array:
@@ -198,7 +209,7 @@ class ConformerBlock(nn.Module):
         x = x + ConvModule(
             c.dim, c.conv_expansion_factor, c.conv_kernel_size, c.conv_dropout,
             self.dtype, name="conv",
-        )(x, train=train)
+        )(x, pad_mask=conv_pad_mask, train=train)
         x = x + 0.5 * FeedForward(c.dim, c.ff_mult, c.ff_dropout, self.dtype,
                                   name="ff2")(nn.LayerNorm(dtype=self.dtype)(x), train=train)
         x = nn.LayerNorm(dtype=self.dtype, name="post_norm")(x)

@@ -122,13 +122,19 @@ class InjectionConformer(nn.Module):
         return self.codec.decode_from_codes(codes)
 
     # -- forward passes ------------------------------------------------------
-    def forward_first_level(self, x: Array) -> Array:
+    def forward_first_level(
+        self, x: Array, pad_mask: Array | None = None
+    ) -> Array:
         """Run blocks up to the first injection layer; return level-0 logits
-        ``(B, L, N)`` (reference wrapper.py:65-90)."""
+        ``(B, L, N)`` (reference wrapper.py:65-90).
+
+        ``pad_mask`` (bool ``(B, L)``, True = valid) masks both attention keys
+        and the conv modules so a padded canvas computes bit-identically to an
+        exact-size one at valid positions (fused fixed-canvas inference)."""
         rope = rope_frequencies(x.shape[-2], self.cfg.encoder_config.dim_head)
         first = self.cfg.injection_layers[0]
         for i in range(first + 1):
-            x = self.blocks[i](x, rope=rope)
+            x = self.blocks[i](x, rope=rope, mask=pad_mask, conv_pad_mask=pad_mask)
         return self.single_level_logits(x, 0)
 
     def _run_stack(
@@ -138,6 +144,7 @@ class InjectionConformer(nn.Module):
         teacher_injections: Array | None = None,
         prompt_injections: Array | None = None,
         mask_time: Array | None = None,
+        pad_mask: Array | None = None,
         train: bool = False,
     ) -> tuple[Array, list[Array]]:
         """Shared 16-block walk. Returns (final hidden, coarse pre-injection
@@ -152,7 +159,9 @@ class InjectionConformer(nn.Module):
         import flax.linen as _nn
 
         def apply_block(mdl, x, rope):
-            return mdl(x, rope=rope, train=train)
+            return mdl(
+                x, rope=rope, mask=pad_mask, conv_pad_mask=pad_mask, train=train
+            )
 
         if cfg.gradient_checkpointing and train:
             apply_block = _nn.remat(apply_block)
@@ -200,6 +209,7 @@ class InjectionConformer(nn.Module):
         teacher_injections: Array | None = None,
         prompt_injections: Array | None = None,
         mask_time: Array | None = None,
+        pad_mask: Array | None = None,
         generated_start: int = 0,
         train: bool = False,
     ) -> Array:
@@ -210,6 +220,7 @@ class InjectionConformer(nn.Module):
             teacher_injections=teacher_injections,
             prompt_injections=prompt_injections,
             mask_time=mask_time,
+            pad_mask=pad_mask,
             train=train,
         )
         if generated_start:

@@ -43,6 +43,7 @@ def s2a_sample(
     *,
     steps: int = 8,
     temperature: float = 1.0,
+    semantic_valid: Array | None = None,
 ) -> Array:
     """Zero-shot semantic->acoustic generation.
 
@@ -50,6 +51,11 @@ def s2a_sample(
       semantic_tokens: ``(B, T)`` target semantic tokens.
       acoustic_prompt_tokens: ``(B, Q, Tp)`` speaker prompt codes or None.
       semantic_prompt_tokens: ``(B, Tp)`` speaker prompt semantic tokens.
+      semantic_valid: optional bool ``(B, T)`` — True at real semantic
+        positions. Enables a fixed-size (padded) canvas: invalid positions
+        are excluded from attention/conv (pad_mask) and from the MaskGIT
+        schedule, so valid positions compute as if the canvas were
+        exact-size. Codes at invalid positions are garbage — trim downstream.
     Returns ``(B, Q, T)`` generated acoustic codes.
     """
     apply = functools.partial(model.apply, params)
@@ -88,6 +94,12 @@ def s2a_sample(
             [jnp.zeros((b, tp), bool), jnp.ones((b, t), bool)], axis=1
         )
 
+    pad_mask = None
+    if semantic_valid is not None:
+        pad_mask = jnp.concatenate(
+            [jnp.ones((b, tp), bool), semantic_valid], axis=1
+        ) if tp else semantic_valid
+
     def full_input(enc_gen):
         if enc_prompt is None:
             return enc_gen
@@ -95,13 +107,19 @@ def s2a_sample(
 
     def first_level_logits(enc_gen):
         logits = apply(
-            full_input(enc_gen), method=InjectionConformer.forward_first_level
+            full_input(enc_gen), pad_mask,
+            method=InjectionConformer.forward_first_level,
         )
         return logits[:, tp:]
 
     if steps > 1:
         ratios = sampling_mask_ratios(steps)
-        init_num = jnp.full((b,), t, dtype=jnp.float32)
+        if semantic_valid is None:
+            init_num = jnp.full((b,), t, dtype=jnp.float32)
+            init_mask = jnp.ones((b, t), bool)
+        else:
+            init_num = jnp.sum(semantic_valid, axis=-1).astype(jnp.float32)
+            init_mask = semantic_valid
 
         def body(carry, xs):
             enc_gen, mask = carry
@@ -132,7 +150,7 @@ def s2a_sample(
         keys = jax.random.split(rng, steps - 1)
         (enc_gen, mask), _ = jax.lax.scan(
             body,
-            (enc_gen, jnp.ones((b, t), bool)),
+            (enc_gen, init_mask),
             (ratios[: steps - 1], keys),
         )
 
@@ -147,6 +165,7 @@ def s2a_sample(
         full_input(enc_gen),
         prompt_injections=prompt_injections,
         mask_time=mask_time,
+        pad_mask=pad_mask,
         generated_start=tp,
         method=InjectionConformer.forward_logits,
     )  # (B, Q, T, N)

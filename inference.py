@@ -36,6 +36,11 @@ def main():
                     help="override the predicted speech length (tokens)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    ap.add_argument("--one_shot", action="store_true",
+                    help="fuse t2s->s2a->decode into ONE jitted device "
+                         "program on a fixed max_speech_len canvas (no host "
+                         "sync between stages; best when utterances fill the "
+                         "canvas or dispatch latency dominates)")
     args = ap.parse_args()
 
     from edm_tts_tpu.data.audio_io import load_audio, save_wav
@@ -85,28 +90,42 @@ def main():
     if args.gt_length is not None:
         gt = jnp.full((b,), args.gt_length, jnp.int32)
 
-    # 3. text -> semantic tokens (batched MaskGIT)
-    t2s_out = t2s_sample(
-        t2s_model, t2s_params, text_tokens, text_lengths, k_t2s,
-        pred_iters=args.pred_iters, temperature=args.temperature,
-        max_speech_len=args.max_speech_len, gt_length=gt,
-    )
-    lengths = np.asarray(t2s_out["lengths"])
-    n_max = int(lengths.max())
-    semantic_tokens = t2s_out["semantic_tokens"][:, :n_max]
+    if args.one_shot:
+        # single fused dispatch: t2s -> s2a -> decode in one XLA program
+        from edm_tts_tpu.pipeline import e2e_synthesize
 
-    # 4. semantic -> acoustic codes (zero-shot, speaker prompt broadcast)
-    acoustic_codes = s2a_sample(
-        s2a_model, s2a_params, semantic_tokens,
-        jnp.broadcast_to(prompt_acoustic, (b, *prompt_acoustic.shape[1:])),
-        jnp.broadcast_to(prompt_semantic, (b, *prompt_semantic.shape[1:])),
-        k_s2a, steps=args.s2a_steps, temperature=args.temperature,
-    )
+        out = e2e_synthesize(
+            t2s_model, s2a_model, t2s_params, s2a_params,
+            text_tokens, text_lengths, prompt_acoustic, prompt_semantic, rng,
+            pred_iters=args.pred_iters, steps=args.s2a_steps,
+            temperature=args.temperature, max_speech_len=args.max_speech_len,
+            gt_length=gt,
+        )
+        audio_out = np.asarray(out["audio"], dtype=np.float32)
+        lengths = np.asarray(out["lengths"])
+    else:
+        # 3. text -> semantic tokens (batched MaskGIT)
+        t2s_out = t2s_sample(
+            t2s_model, t2s_params, text_tokens, text_lengths, k_t2s,
+            pred_iters=args.pred_iters, temperature=args.temperature,
+            max_speech_len=args.max_speech_len, gt_length=gt,
+        )
+        lengths = np.asarray(t2s_out["lengths"])
+        n_max = int(lengths.max())
+        semantic_tokens = t2s_out["semantic_tokens"][:, :n_max]
 
-    # 5. decode to waveforms
-    audio_out = np.asarray(tokenizer.codec.apply(
-        codec_params, acoustic_codes, method="decode_from_codes"
-    ), dtype=np.float32)
+        # 4. semantic -> acoustic codes (zero-shot, speaker prompt broadcast)
+        acoustic_codes = s2a_sample(
+            s2a_model, s2a_params, semantic_tokens,
+            jnp.broadcast_to(prompt_acoustic, (b, *prompt_acoustic.shape[1:])),
+            jnp.broadcast_to(prompt_semantic, (b, *prompt_semantic.shape[1:])),
+            k_s2a, steps=args.s2a_steps, temperature=args.temperature,
+        )
+
+        # 5. decode to waveforms
+        audio_out = np.asarray(tokenizer.codec.apply(
+            codec_params, acoustic_codes, method="decode_from_codes"
+        ), dtype=np.float32)
     stem, ext = (args.output.rsplit(".", 1) + ["wav"])[:2]
     for i in range(b):
         n = int(lengths[i]) * tokenizer.downsample_factor
