@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from edm_tts_tpu.ops.snake import snake
+from edm_tts_tpu.ops.snake import cos_fast, snake
 
 Array = jax.Array
 
@@ -78,7 +78,8 @@ def _kernel(x_hbm, a1_ref, w7_ref, b7_ref, a2_ref, w1_ref, b1_ref, o_hbm,
 
     x = x_vmem[slot].astype(jnp.float32)
     a1 = a1_ref[0].astype(jnp.float32)
-    s = x + jnp.sin(a1 * x) ** 2 / (a1 + 1e-9)
+    # snake via fast cos poly (ops/snake.py): sin^2(u) = (1 - cos(2u)) / 2
+    s = x + (1.0 - cos_fast(2.0 * a1 * x)) / (2.0 * (a1 + 1e-9))
 
     acc = jnp.zeros((block_t, x.shape[-1]), jnp.float32)
     for k in range(7):
@@ -90,7 +91,7 @@ def _kernel(x_hbm, a1_ref, w7_ref, b7_ref, a2_ref, w1_ref, b1_ref, o_hbm,
     y = acc + b7_ref[0].astype(jnp.float32)
 
     a2 = a2_ref[0].astype(jnp.float32)
-    s2 = y + jnp.sin(a2 * y) ** 2 / (a2 + 1e-9)
+    s2 = y + (1.0 - cos_fast(2.0 * a2 * y)) / (2.0 * (a2 + 1e-9))
     y2 = jax.lax.dot_general(
         s2.astype(jnp.bfloat16), w1_ref[0].astype(jnp.bfloat16),
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,

@@ -2,11 +2,14 @@
 
 The periodic activation used throughout the DAC encoder/decoder
 (reference: /root/reference/edm_tts/models/dac/nn_layers.py:16-33, which
-TorchScripts it for a 1.4x speedup). On TPU we simply express it in jnp —
-XLA fuses the two transcendentals into the surrounding conv's epilogue, so a
-hand-written kernel buys nothing for the memory-bound case; a Pallas fusion
-of (snake -> strided conv) is provided in ``ops/pallas/`` for the decoder hot
-path where it does.
+TorchScripts it for a 1.4x speedup). It is the decoder's single biggest cost
+on TPU: XLA lowers ``sin`` to a ~100-op accurate expansion, and the decoder
+evaluates ~290M of them for 10 s of audio (measured 1.8 ms for ONE 160k x 96
+snake vs a 0.35 ms memory floor). We therefore evaluate
+``sin^2(u) = (1 - cos(2u)) / 2`` with a Cody-Waite range reduction plus a
+degree-12 even minimax polynomial for ``cos`` — max abs error 2.1e-8 on
+[-pi, pi] (below f32 sin ulp noise, 4 orders below bf16 resolution), ~12 VPU
+ops per element. The same helper runs inside Pallas kernels (pure jnp ops).
 
 ``alpha`` is per-channel, broadcast over ``(B, T, C)`` channel-last input.
 """
@@ -18,6 +21,35 @@ import jax.numpy as jnp
 
 Array = jax.Array
 
+# Cody-Waite split of 2*pi: HI has 9 mantissa bits so k * HI is exact for
+# |k| < 2^14; LO carries the remainder.
+_INV_2PI = 0.15915494309189535
+_PI2_HI = 6.28125
+_PI2_LO = 1.9353071795864792e-03
+
+# even minimax (Chebyshev-interpolation) coefficients for cos on [-pi, pi],
+# degree 12: max abs err 2.14e-08
+_COS_C = (
+    1.0,
+    -4.9999997057e-01,
+    4.1666583047e-02,
+    -1.3888208529e-03,
+    2.4777785560e-05,
+    -2.7150122876e-07,
+    1.7484986519e-09,
+)
+
+
+def cos_fast(u: Array) -> Array:
+    """cos(u) for arbitrary f32 u: range-reduce to [-pi, pi], even poly."""
+    k = jnp.round(u * _INV_2PI)
+    v = (u - k * _PI2_HI) - k * _PI2_LO
+    v2 = v * v
+    p = jnp.float32(_COS_C[6])
+    for c in _COS_C[5::-1]:
+        p = p * v2 + jnp.float32(c)
+    return p
+
 
 def snake(x: Array, alpha: Array) -> Array:
     """Snake activation on channel-last input.
@@ -25,8 +57,21 @@ def snake(x: Array, alpha: Array) -> Array:
     Args:
       x: ``(..., C)``.
       alpha: ``(C,)`` trainable frequency (initialized to ones).
+
+    Uses ``sin^2(a x) = (1 - cos(2 a x)) / 2`` with the fast cos; numerically
+    identical to the jnp.sin composition to ~1e-7 (see test_snake.py) and the
+    reciprocal keeps the reference's +1e-9 guard.
     """
-    # Compute the sin in the input dtype (bf16 on TPU) but keep the
-    # reciprocal numerically safe exactly as the reference does (+1e-9).
-    s = jnp.sin(alpha * x)
-    return x + s * s / (alpha + 1e-9)
+    xf = x.astype(jnp.float32)
+    a = alpha.astype(jnp.float32)
+    c = cos_fast(2.0 * a * xf)
+    y = xf + (1.0 - c) / (2.0 * (a + 1e-9))
+    return y.astype(x.dtype)
+
+
+def snake_exact(x: Array, alpha: Array) -> Array:
+    """jnp.sin composition (the original formula); numerical reference."""
+    xf = x.astype(jnp.float32)
+    a = alpha.astype(jnp.float32)
+    s = jnp.sin(a * xf)
+    return (xf + s * s / (a + 1e-9)).astype(x.dtype)
