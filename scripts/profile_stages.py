@@ -1,6 +1,9 @@
 """Per-stage pipeline latency profile on the real chip (dev utility)."""
 
+import sys
 import time
+
+sys.path.insert(0, ".")
 
 import jax
 import jax.numpy as jnp
