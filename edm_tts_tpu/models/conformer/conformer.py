@@ -42,6 +42,11 @@ class ConformerConfig:
     conv_dropout: float = 0.0
     attn_implementation: str = "auto"
     remat: bool = False  # gradient checkpointing (reference conformer.py:220-230 hooks)
+    # remat policy: "full" recomputes the whole block in the backward;
+    # "dots" saves matmul outputs (jax dots_with_no_batch_dims_saveable) so
+    # the backward only recomputes the cheap elementwise chains — ~same
+    # memory order for small dims, much less recompute. Ignored unless remat.
+    remat_policy: str = "dots"
 
     @classmethod
     def from_reference_args(cls, dim: int, args: dict) -> "ConformerConfig":
@@ -241,7 +246,19 @@ class Conformer(nn.Module):
             return mdl(x, rope=rope, mask=mask, train=train)
 
         if self.cfg.remat and train:
-            apply_block = nn.remat(apply_block)
+            # "dots" also saves the named attention-kernel output ("mha_out",
+            # tagged in ops/attention.py) — a Pallas custom call is not a
+            # jaxpr dot, so without the name it would be recomputed in full
+            # during the backward pass.
+            policy = (
+                jax.checkpoint_policies.save_from_both_policies(
+                    jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                    jax.checkpoint_policies.save_only_these_names("mha_out"),
+                )
+                if self.cfg.remat_policy == "dots"
+                else None
+            )
+            apply_block = nn.remat(apply_block, policy=policy)
         attns = [] if return_attn else None
         for i, block in enumerate(self.blocks):
             if return_attn:

@@ -33,6 +33,9 @@ class S2AConfig:
     use_injection: bool = True
     loss_all: bool = False
     gradient_checkpointing: bool = False
+    # "full" recompute: the 464M model at batch 32 x 768 frames OOMs 16G HBM
+    # if matmul outputs are saved ("dots" measured 18.4G)
+    remat_policy: str = "full"
     codec: CodecConfig = dataclasses.field(default_factory=CodecConfig)
 
     @property

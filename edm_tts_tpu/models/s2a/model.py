@@ -32,7 +32,12 @@ import jax.numpy as jnp
 from edm_tts_tpu.models.codec import Codec
 from edm_tts_tpu.models.conformer.conformer import ConformerBlock
 from edm_tts_tpu.models.s2a.config import S2AConfig
-from edm_tts_tpu.ops import cosine_schedule_mask, masked_mean, rope_frequencies
+from edm_tts_tpu.ops import (
+    cosine_schedule_mask,
+    embed_take,
+    masked_cross_entropy,
+    rope_frequencies,
+)
 
 Array = jax.Array
 
@@ -101,7 +106,10 @@ class InjectionConformer(nn.Module):
 
     # -- embedding helpers (used by the sampler) -----------------------------
     def embed_semantic(self, tokens: Array) -> Array:
-        return self.semantic_embedding(tokens).astype(self.dtype)
+        # gather forward + one-hot-matmul backward (see ops/embedding.py)
+        return embed_take(self.semantic_embedding.embedding, tokens).astype(
+            self.dtype
+        )
 
     def mask_token_value(self) -> Array:
         return self.mask_token.astype(self.dtype)
@@ -164,7 +172,18 @@ class InjectionConformer(nn.Module):
             )
 
         if cfg.gradient_checkpointing and train:
-            apply_block = _nn.remat(apply_block)
+            # "dots" saves matmul outputs + the named attention-kernel output
+            # so the backward only recomputes elementwise chains (same policy
+            # as Conformer.remat_policy="dots")
+            policy = (
+                jax.checkpoint_policies.save_from_both_policies(
+                    jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                    jax.checkpoint_policies.save_only_these_names("mha_out"),
+                )
+                if cfg.remat_policy == "dots"
+                else None
+            )
+            apply_block = _nn.remat(apply_block, policy=policy)
 
         for i, block in enumerate(self.blocks):
             cur = apply_block(block, x, rope)
@@ -268,14 +287,13 @@ class InjectionConformer(nn.Module):
             enc_in, teacher_injections=teacher, train=train
         )  # (B,Q,T,N)
 
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        nll = -jnp.take_along_axis(
-            logp, acoustic_tokens[..., None].astype(jnp.int32), axis=-1
-        )[..., 0]  # (B,Q,T)
-        if cfg.loss_all:
-            loss = jnp.mean(nll)
-        else:
-            loss = masked_mean(nll, jnp.broadcast_to(mask[:, None, :], nll.shape))
+        targets = acoustic_tokens.astype(jnp.int32)
+        loss_mask = (
+            jnp.ones(targets.shape, bool)
+            if cfg.loss_all
+            else jnp.broadcast_to(mask[:, None, :], targets.shape)
+        )
+        loss = masked_cross_entropy(logits, targets, loss_mask)
 
         return {
             "loss": loss,

@@ -40,6 +40,7 @@ class T2SConfig:
     length_predictor_ff_dropout: float = 0.0
     length_predictor_conv_dropout: float = 0.0
     gradient_checkpointing: bool = False
+    remat_policy: str = "dots"  # "dots" (save matmul outputs) or "full"
 
     @property
     def num_special_tokens(self) -> int:
@@ -67,6 +68,7 @@ class T2SConfig:
             ff_dropout=self.main_encoder_ff_dropout,
             conv_dropout=self.main_encoder_conv_dropout,
             remat=self.gradient_checkpointing,
+            remat_policy=self.remat_policy,
         )
 
     @property

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 
 from edm_tts_tpu.models.conformer.conformer import Conformer
 from edm_tts_tpu.models.t2s.config import SPECIAL_TOKENS, T2SConfig
+from edm_tts_tpu.ops import embed_take, masked_cross_entropy
 
 Array = jax.Array
 
@@ -58,7 +59,9 @@ class TextToSemantic(nn.Module):
 
     # -- embedding (padding_idx=0 parity) ------------------------------------
     def embed(self, tokens: Array) -> Array:
-        e = self.input_embedding(tokens).astype(self.dtype)
+        # embed_take = gather forward + one-hot-matmul backward (the scatter
+        # backward of a plain lookup serializes on TPU at 44k-token canvases)
+        e = embed_take(self.input_embedding.embedding, tokens).astype(self.dtype)
         return e * (tokens != SPECIAL_TOKENS["pad"])[..., None].astype(e.dtype)
 
     # -- heads ---------------------------------------------------------------
@@ -151,11 +154,8 @@ class TextToSemantic(nn.Module):
         loss_mask = mask
         if self.ignore_semantic_zero:
             loss_mask = loss_mask & (targets != 0)
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         safe_targets = jnp.clip(targets, 0, cfg.semantic_vocab_size - 1)
-        nll = -jnp.take_along_axis(logp, safe_targets[..., None], axis=-1)[..., 0]
-        denom = jnp.maximum(jnp.sum(loss_mask), 1)
-        ce_loss = jnp.sum(nll * loss_mask) / denom
+        ce_loss = masked_cross_entropy(logits, safe_targets, loss_mask)
 
         length_pred = self.predict_log_length(
             text_ids, text_attention_mask, train=train

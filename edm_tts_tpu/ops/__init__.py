@@ -15,6 +15,7 @@ from edm_tts_tpu.ops.masking import (
     sampling_mask_ratios,
 )
 from edm_tts_tpu.ops.attention import mha, mha_reference
+from edm_tts_tpu.ops.embedding import embed_take, masked_cross_entropy
 
 # heavier ops are intentionally NOT imported eagerly (keep import light):
 # - edm_tts_tpu.ops.spectral: stft / spectrogram / mel_spectrogram / mel_filterbank

@@ -18,6 +18,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 Array = jax.Array
 
@@ -51,7 +52,9 @@ def mha(
     if implementation == "pallas":
         from edm_tts_tpu.ops.pallas_attention import flash_mha_diff
 
-        return flash_mha_diff(q, k, v, mask)
+        # name the output so remat policies can save it (a pallas_call is not
+        # a jaxpr dot — see ConformerConfig.remat_policy)
+        return checkpoint_name(flash_mha_diff(q, k, v, mask), "mha_out")
 
     attn_mask = None
     if mask is not None:

@@ -28,12 +28,15 @@ NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *, scale: float):
-    q = q_ref[0].astype(jnp.float32)  # (bq, d)
-    k = k_ref[0].astype(jnp.float32)  # (T, d)
-    v = v_ref[0].astype(jnp.float32)  # (T, d)
+    # keep matmul operands in the input dtype (bf16 in training): the MXU
+    # runs bf16 MACs at full rate while f32 operands decompose into multiple
+    # passes. Accumulation stays f32 via preferred_element_type.
+    q = q_ref[0]  # (bq, d)
+    k = k_ref[0]  # (T, d)
+    v = v_ref[0]  # (T, d)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (bq, T)
+    ) * scale  # (bq, T) f32
     if mask_ref is not None:
         valid = mask_ref[0, 0]  # (T,) bool
         s = jnp.where(valid[None, :], s, NEG_INF)
@@ -41,7 +44,8 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *, scale: float)
     p = jnp.exp(s - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
     o = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     ) / denom
     o_ref[0] = o.astype(o_ref.dtype)
     if lse_ref is not None:
@@ -143,11 +147,12 @@ def flash_mha(
 
 
 def _dq_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, mask_ref, dq_ref, *, scale):
-    q = q_ref[0].astype(jnp.float32)  # (bq, d)
-    k = k_ref[0].astype(jnp.float32)  # (Tk, d)
-    v = v_ref[0].astype(jnp.float32)  # (Tk, d)
-    do = do_ref[0].astype(jnp.float32)  # (bq, d)
-    o = o_ref[0].astype(jnp.float32)  # (bq, d)
+    # bf16 matmul operands, f32 accumulation/statistics (see _attn_kernel)
+    q = q_ref[0]  # (bq, d)
+    k = k_ref[0]  # (Tk, d)
+    v = v_ref[0]  # (Tk, d)
+    do = do_ref[0]  # (bq, d)
+    o = o_ref[0]  # (bq, d)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # (bq, Tk)
@@ -156,12 +161,14 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, mask_ref, dq_ref, *, scale):
         s = jnp.where(valid[None, :], s, NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)  # (bq, Tk)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)  # (bq, Tk) f32
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (bq, Tk)
-    delta = jnp.sum(do * o, axis=-1, keepdims=True)  # (bq, 1)
-    ds = p * (dp - delta) * scale
+    )  # (bq, Tk) f32
+    delta = jnp.sum(
+        do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True
+    )  # (bq, 1)
+    ds = (p * (dp - delta) * scale).astype(k.dtype)
     dq_ref[0] = jax.lax.dot_general(
         ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ).astype(dq_ref.dtype)
@@ -171,10 +178,11 @@ def _dkv_kernel(
     k_ref, v_ref, q_ref, do_ref, lse_ref, delta_ref, maskk_ref, dk_ref, dv_ref,
     *, scale,
 ):
-    kb = k_ref[0].astype(jnp.float32)  # (bk, d)
-    vb = v_ref[0].astype(jnp.float32)  # (bk, d)
-    q = q_ref[0].astype(jnp.float32)  # (Tq, d)
-    do = do_ref[0].astype(jnp.float32)  # (Tq, d)
+    # bf16 matmul operands, f32 accumulation/statistics (see _attn_kernel)
+    kb = k_ref[0]  # (bk, d)
+    vb = v_ref[0]  # (bk, d)
+    q = q_ref[0]  # (Tq, d)
+    do = do_ref[0]  # (Tq, d)
     lse = lse_ref[0]  # (1, Tq) f32, lane layout
     delta = delta_ref[0]  # (1, Tq) f32
     st = jax.lax.dot_general(
@@ -183,14 +191,15 @@ def _dkv_kernel(
     if maskk_ref is not None:
         validk = maskk_ref[0]  # (bk, 1) f32, sublane layout
         st = jnp.where(validk > 0.0, st, NEG_INF)
-    pt = jnp.exp(st - lse)  # (bk, Tq); invalid keys -> exactly 0
+    pt = jnp.exp(st - lse)  # (bk, Tq) f32; invalid keys -> exactly 0
     dv_ref[0] = jax.lax.dot_general(
-        pt, do, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        pt.astype(do.dtype), do, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     ).astype(dv_ref.dtype)  # (bk, d)
     dpt = jax.lax.dot_general(
         vb, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (bk, Tq)
-    dst = pt * (dpt - delta) * scale
+    dst = (pt * (dpt - delta) * scale).astype(q.dtype)
     dk_ref[0] = jax.lax.dot_general(
         dst, q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ).astype(dk_ref.dtype)
