@@ -101,3 +101,19 @@ def test_pallas_masked_keys_get_zero_grads():
     _, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
     assert np.all(np.asarray(dk)[0, 16:] == 0)
     assert np.all(np.asarray(dv)[0, 16:] == 0)
+
+
+def test_pallas_mha_auto_block_masked_grads():
+    """block_q=None picks the auto block size (one-shot block at short T);
+    exercises the f32 additive-bias mask path end to end with grads."""
+    _grad_check(jax.random.PRNGKey(7), t=40,
+                mask=jnp.arange(40)[None, :] < jnp.array([[33], [40]]),
+                block_q=None)
+
+
+def test_auto_block_sizing():
+    from edm_tts_tpu.ops.pallas_attention import _auto_block
+
+    assert _auto_block(768, 768) == 768       # one-shot block fits
+    assert _auto_block(1408, 1408) == 704     # halved, 64-aligned
+    assert _auto_block(1408, 1408) * 1408 * 4 <= 6_500_000
