@@ -42,10 +42,11 @@ class ConformerConfig:
     conv_dropout: float = 0.0
     attn_implementation: str = "auto"
     remat: bool = False  # gradient checkpointing (reference conformer.py:220-230 hooks)
-    # remat policy: "full" recomputes the whole block in the backward;
-    # "dots" saves matmul outputs (jax dots_with_no_batch_dims_saveable) so
-    # the backward only recomputes the cheap elementwise chains — ~same
-    # memory order for small dims, much less recompute. Ignored unless remat.
+    # remat policy (ignored unless remat; see _remat_policy below):
+    # "full" recomputes the whole block in the backward; "dots" saves matmul
+    # outputs (much less recompute, ~8x the activation memory); "mha" saves
+    # only the attention-kernel output (+BTHD bf16 per block ~ 50 MB at the
+    # s2a shape) so the backward skips the single most expensive recompute.
     remat_policy: str = "dots"
 
     @classmethod
@@ -62,6 +63,31 @@ class ConformerConfig:
             ff_dropout=args.get("ff_dropout", 0.0),
             conv_dropout=args.get("conv_dropout", 0.0),
         )
+
+
+def _remat_policy(name: str):
+    """Checkpoint policy for ``nn.remat`` over a conformer block.
+
+    "dots": save matmul outputs + the named attention-kernel output
+    ("mha_out", tagged in ops/attention.py — a Pallas custom call is not a
+    jaxpr dot, so without the name it would be recomputed in the backward).
+    Fastest backward, ~8x the activation memory of "full" (OOMs the 464M s2a
+    at batch 32 x 768 on 16G).
+    "mha": save only "mha_out". Nearly the memory profile of "full" but the
+    backward never re-runs the attention kernel — the most expensive single
+    recompute in the block.
+    "full": save block inputs only (recompute everything).
+    """
+    if name == "dots":
+        return jax.checkpoint_policies.save_from_both_policies(
+            jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            jax.checkpoint_policies.save_only_these_names("mha_out"),
+        )
+    if name == "mha":
+        return jax.checkpoint_policies.save_only_these_names("mha_out")
+    if name != "full":
+        raise ValueError(f"unknown remat_policy: {name!r}")
+    return None
 
 
 def _linear_init():
@@ -246,19 +272,9 @@ class Conformer(nn.Module):
             return mdl(x, rope=rope, mask=mask, train=train)
 
         if self.cfg.remat and train:
-            # "dots" also saves the named attention-kernel output ("mha_out",
-            # tagged in ops/attention.py) — a Pallas custom call is not a
-            # jaxpr dot, so without the name it would be recomputed in full
-            # during the backward pass.
-            policy = (
-                jax.checkpoint_policies.save_from_both_policies(
-                    jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
-                    jax.checkpoint_policies.save_only_these_names("mha_out"),
-                )
-                if self.cfg.remat_policy == "dots"
-                else None
+            apply_block = nn.remat(
+                apply_block, policy=_remat_policy(self.cfg.remat_policy)
             )
-            apply_block = nn.remat(apply_block, policy=policy)
         attns = [] if return_attn else None
         for i, block in enumerate(self.blocks):
             if return_attn:

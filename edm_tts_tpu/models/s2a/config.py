@@ -33,9 +33,10 @@ class S2AConfig:
     use_injection: bool = True
     loss_all: bool = False
     gradient_checkpointing: bool = False
-    # "full" recompute: the 464M model at batch 32 x 768 frames OOMs 16G HBM
-    # if matmul outputs are saved ("dots" measured 18.4G)
-    remat_policy: str = "full"
+    # "mha" saves only the attention-kernel output (+0.8 GB total at batch
+    # 32 x 768) so the backward skips the most expensive recompute; "dots"
+    # (save matmul outputs) OOMs 16G HBM at this scale (measured 18.4G).
+    remat_policy: str = "mha"
     codec: CodecConfig = dataclasses.field(default_factory=CodecConfig)
 
     @property

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from edm_tts_tpu.models.codec import Codec
-from edm_tts_tpu.models.conformer.conformer import ConformerBlock
+from edm_tts_tpu.models.conformer.conformer import ConformerBlock, _remat_policy
 from edm_tts_tpu.models.s2a.config import S2AConfig
 from edm_tts_tpu.ops import (
     cosine_schedule_mask,
@@ -172,18 +172,10 @@ class InjectionConformer(nn.Module):
             )
 
         if cfg.gradient_checkpointing and train:
-            # "dots" saves matmul outputs + the named attention-kernel output
-            # so the backward only recomputes elementwise chains (same policy
-            # as Conformer.remat_policy="dots")
-            policy = (
-                jax.checkpoint_policies.save_from_both_policies(
-                    jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
-                    jax.checkpoint_policies.save_only_these_names("mha_out"),
-                )
-                if cfg.remat_policy == "dots"
-                else None
+            # same policy semantics as Conformer.remat_policy (conformer.py)
+            apply_block = _nn.remat(
+                apply_block, policy=_remat_policy(cfg.remat_policy)
             )
-            apply_block = _nn.remat(apply_block, policy=policy)
 
         for i, block in enumerate(self.blocks):
             cur = apply_block(block, x, rope)

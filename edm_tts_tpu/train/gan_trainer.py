@@ -48,6 +48,8 @@ class GANTrainingArguments:
     time_limit: str | None = None
     overwrite_output_dir: bool = False
     num_samples_to_log: int = 4
+    # remote experiment trackers: "module.path:factory" specs (wandb analog)
+    trackers: tuple[str, ...] = ()
 
 
 class GANTrainer:
@@ -89,7 +91,7 @@ class GANTrainer:
         # output_dir (reference utils.py:30-46 semantics).
         detect_last_checkpoint(args.output_dir, args.overwrite_output_dir)
         self.ckpt = CheckpointManager(args.output_dir, args.save_total_limit)
-        self.metrics = MetricLogger(args.output_dir)
+        self.metrics = MetricLogger(args.output_dir, trackers=args.trackers)
         self._batch_sharding = batch_sharding(self.mesh)
         self.best_val_loss = float("inf")
 
@@ -194,3 +196,6 @@ class GANTrainer:
                      np.asarray(recon)[i, :, 0], sr)
             save_wav(os.path.join(out_dir, f"real_{i}.wav"),
                      np.asarray(real)[i, :, 0], sr)
+            # wandb.Audio-analog remote hook (reference gan_trainer.py:250-265)
+            self.metrics.log_audio(step, f"recon_{i}",
+                                   np.asarray(recon)[i, :, 0], sr)

@@ -52,6 +52,9 @@ class TrainingArguments:
     overwrite_output_dir: bool = False
     resume_from_checkpoint: str | None = None
     n_fsdp: int = 1
+    # remote experiment trackers: "module.path:factory" specs (wandb analog,
+    # reference report_to — see utils/logging.py Tracker)
+    trackers: tuple[str, ...] = ()
 
     def time_limit_seconds(self) -> float | None:
         if not self.time_limit:
@@ -113,7 +116,7 @@ class Trainer:
         # script ahead of Trainer construction, utils.py:30-46).
         detect_last_checkpoint(args.output_dir, args.overwrite_output_dir)
         self.ckpt = CheckpointManager(args.output_dir, args.save_total_limit)
-        self.metrics = MetricLogger(args.output_dir)
+        self.metrics = MetricLogger(args.output_dir, trackers=args.trackers)
         self._batch_sharding = batch_sharding(self.mesh)
 
         def train_step(state: TrainState, batch, rng):

@@ -18,7 +18,12 @@ from edm_tts_tpu.models.s2a import InjectionConformer, S2AConfig
 from edm_tts_tpu.train.optim import adamw, freeze_subtree_mask, warmup_cosine_schedule
 
 batch, t = 32, 768
-cfg = S2AConfig(codec=CodecConfig(), gradient_checkpointing=True)
+# dropouts 0.0 = the reference training recipe
+# (/root/reference/configs/injection_conformer/train_config.yaml:30-32);
+# the base-config default 0.1 costs ~19 ms/block in threefry mask generation
+cfg = S2AConfig(codec=CodecConfig(), gradient_checkpointing=True,
+                encoder_attn_dropout=0.0, encoder_ff_dropout=0.0,
+                encoder_conv_dropout=0.0)
 model = InjectionConformer(cfg, dtype=jnp.bfloat16)
 rng = jax.random.PRNGKey(0)
 params = jax.jit(
