@@ -33,21 +33,51 @@ class DecoderBlock(nn.Module):
     output_dim: int
     stride: int
     dtype: Any = jnp.float32
+    use_pallas: str | bool = "auto"
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        x = Snake()(x)
-        x = WNConvTranspose1d(
+        snake0 = Snake()
+        tconv = WNConvTranspose1d(
             self.output_dim,
             2 * self.stride,
             stride=self.stride,
             padding=math.floor(self.stride / 2),
             output_padding=self.stride % 2,
             dtype=self.dtype,
-        )(x)
-        x = ResidualUnit(self.output_dim, dilation=1, dtype=self.dtype)(x)
-        x = ResidualUnit(self.output_dim, dilation=3, dtype=self.dtype)(x)
-        x = ResidualUnit(self.output_dim, dilation=9, dtype=self.dtype)(x)
+        )
+        units = [
+            ResidualUnit(self.output_dim, dilation=d, dtype=self.dtype)
+            for d in (1, 3, 9)
+        ]
+
+        use_pallas = self.use_pallas
+        if use_pallas == "auto":
+            # the high-audio-rate tail blocks (C_out <= 192, even stride):
+            # one VMEM residency for snake + transposed conv + 3 resunits
+            # (ops/pallas_decoder_block.py) instead of ~8 HBM round trips.
+            # bf16 is the serving dtype; training (f32) keeps the exact
+            # unfused composition (the kernel's VJP recomputes it anyway).
+            use_pallas = (
+                jax.default_backend() == "tpu"
+                and x.dtype == jnp.bfloat16
+                and self.stride % 2 == 0
+                and self.output_dim <= 192
+            )
+        if use_pallas:
+            from edm_tts_tpu.ops.pallas_decoder_block import (
+                fused_decoder_block,
+            )
+
+            alpha0 = snake0(x, return_alpha=True)
+            wt, bt = tconv(x, return_folded=True)
+            ru = tuple(u(x, return_folded=True) for u in units)
+            return fused_decoder_block(x, alpha0, (wt, bt), ru, self.stride)
+
+        x = snake0(x)
+        x = tconv(x)
+        for u in units:
+            x = u(x)
         return x
 
 

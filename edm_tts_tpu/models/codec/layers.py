@@ -88,7 +88,7 @@ class WNConvTranspose1d(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, return_folded: bool = False):
         in_features = x.shape[-1]
         # torch ConvTranspose fan_in = C_out * K (weight dim 1 x receptive field)
         fan_in = self.features * self.kernel_size
@@ -109,6 +109,10 @@ class WNConvTranspose1d(nn.Module):
             bias = self.param(
                 "b", _fan_in_uniform(fan_in), (self.features,)
             ).astype(self.dtype)
+        if return_folded:
+            # same params/declaration order, no compute: the fused
+            # DecoderBlock kernel consumes the folded weights directly
+            return kernel, bias
         # note: a k=3 phase reformulation (ops.conv_transpose1d_phases) was
         # measured SLOWER here — the (T, s*C) -> (T*s, C) reshape is a
         # lane->sublane relayout that costs a full copy at audio rate; XLA's
@@ -127,8 +131,10 @@ class Snake(nn.Module):
     """Trainable per-channel Snake activation (alpha initialized to 1)."""
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, return_alpha: bool = False):
         alpha = self.param("alpha", nn.initializers.ones, (x.shape[-1],))
+        if return_alpha:
+            return alpha
         return snake(x, alpha.astype(x.dtype))
 
 
@@ -149,7 +155,7 @@ class ResidualUnit(nn.Module):
     use_pallas: str | bool = "auto"
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, return_folded: bool = False):
         c = self.dim
         k = self.kernel_size
         alpha1 = self.param("alpha1", nn.initializers.ones, (c,))
@@ -163,6 +169,9 @@ class ResidualUnit(nn.Module):
 
         w7 = weight_norm(v7, g7)
         w1 = weight_norm(v1, g1)
+
+        if return_folded:
+            return alpha1, w7, b7, alpha2, w1, b1
 
         use_pallas = self.use_pallas
         if use_pallas == "auto":
