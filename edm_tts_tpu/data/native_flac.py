@@ -37,10 +37,11 @@ def _load_lib():
         if _lib is not None:
             return _lib
         if not os.path.exists(_LIB_PATH):
-            src = os.path.join(os.path.dirname(_LIB_PATH), "flac.cc")
+            d = os.path.dirname(_LIB_PATH)
             subprocess.run(
                 ["g++", "-O3", "-std=c++17", "-fPIC", "-shared", "-o",
-                 _LIB_PATH, src],
+                 _LIB_PATH, os.path.join(d, "flac.cc"),
+                 os.path.join(d, "prefetch.cc"), "-lpthread"],
                 check=True,
             )
         lib = ctypes.CDLL(_LIB_PATH)

@@ -49,11 +49,19 @@ def load_audio_segments(
     example: dict, target_sr: int, segment_seconds: float | None
 ) -> Iterator[dict]:
     """Load one manifest window, pad, resample, split into fixed segments,
-    drop the short tail (reference load_audio_segments:61-96)."""
-    audio, sr = load_audio(
-        example["file"], example.get("offset", 0), example.get("num_frames", -1)
-    )
-    audio = audio[0]  # mono
+    drop the short tail (reference load_audio_segments:61-96).
+
+    If the example carries a ``_audio``/``_sr`` pair (attached by the native
+    prefetcher, data/native_prefetch.py), the decode is already done on the
+    C++ thread pool and no file IO happens here."""
+    if "_audio" in example:
+        audio, sr = example["_audio"], example["_sr"]
+    else:
+        audio, sr = load_audio(
+            example["file"], example.get("offset", 0),
+            example.get("num_frames", -1),
+        )
+        audio = audio[0]  # mono
     padding = example.get("padding", 0)
     if padding > 0:
         audio = np.pad(audio, (0, padding))

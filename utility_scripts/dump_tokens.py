@@ -38,6 +38,11 @@ def main():
     ap.add_argument("--items_per_shard", type=int, default=1000)
     ap.add_argument("--max_items", type=int, default=-1)
     ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    ap.add_argument("--prefetch_threads", type=int, default=2,
+                    help="native C++ audio-decode threads running ahead of "
+                         "the device (0 = synchronous loads); the "
+                         "DataLoader-worker analog of the reference's "
+                         "num_workers=32 (dump_tokens.py:176-179)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -70,10 +75,16 @@ def main():
     rank, world = jax.process_index(), jax.process_count()
     writer = TokenShardWriter(args.output_dir, rank, args.items_per_shard)
 
+    stream = shard_for_process(manifest, rank, world)
+    if args.prefetch_threads > 0:
+        from edm_tts_tpu.data.native_prefetch import prefetch_manifest
+
+        stream = prefetch_manifest(stream, n_threads=args.prefetch_threads)
+
     buf = []
     n_done = 0
     t0 = time.time()
-    for window in shard_for_process(manifest, rank, world):
+    for window in stream:
         buf.append(window)
         if len(buf) < args.batch_size:
             continue
