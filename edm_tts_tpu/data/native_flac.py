@@ -36,12 +36,16 @@ def _load_lib():
     with _lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_LIB_PATH):
-            d = os.path.dirname(_LIB_PATH)
+        d = os.path.dirname(_LIB_PATH)
+        srcs = [os.path.join(d, "flac.cc"), os.path.join(d, "prefetch.cc")]
+        stale = not os.path.exists(_LIB_PATH) or any(
+            os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+            for src in srcs
+        )
+        if stale:
             subprocess.run(
                 ["g++", "-O3", "-std=c++17", "-fPIC", "-shared", "-o",
-                 _LIB_PATH, os.path.join(d, "flac.cc"),
-                 os.path.join(d, "prefetch.cc"), "-lpthread"],
+                 _LIB_PATH, *srcs, "-lpthread"],
                 check=True,
             )
         lib = ctypes.CDLL(_LIB_PATH)

@@ -54,6 +54,8 @@ class AudioPrefetcher:
 
     def submit(self, path: str, frame_offset: int = 0,
                num_frames: int = -1) -> None:
+        if self._h is None:
+            raise RuntimeError("prefetcher is closed")
         r = self._lib.edmpf_submit(
             self._h, str(path).encode(), frame_offset, num_frames
         )
@@ -63,6 +65,8 @@ class AudioPrefetcher:
 
     def next(self) -> tuple[np.ndarray, int]:
         """Blocks for the oldest submitted window: (waveform (T,), sr)."""
+        if self._h is None:
+            raise RuntimeError("prefetcher is closed")
         if self._outstanding == 0:
             raise IndexError("no outstanding prefetch jobs")
         sr = ctypes.c_uint32(0)
@@ -72,12 +76,17 @@ class AudioPrefetcher:
             self._max_samples, ctypes.byref(sr), ctypes.byref(ch),
         )
         self._outstanding -= 1
+        if n == -3:
+            raise RuntimeError(
+                "prefetched window exceeds the host buffer "
+                f"({self._max_samples} samples); raise max_seconds"
+            )
         if n < 0:
             raise RuntimeError("native prefetch decode failed")
         wav = self._buf[: n * ch.value].reshape(n, ch.value)
-        # mono mixdown matches audio_io.load_audio / torchaudio defaults
-        mono = wav[:, 0] if ch.value == 1 else wav.mean(axis=1)
-        return np.array(mono), int(sr.value)
+        # channel 0, matching the sync path (pipeline.load_audio_segments
+        # takes audio[0] of flac_read's (C, T))
+        return np.array(wav[:, 0]), int(sr.value)
 
     def close(self) -> None:
         if self._h is not None:

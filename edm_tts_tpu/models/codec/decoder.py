@@ -58,10 +58,13 @@ class DecoderBlock(nn.Module):
             # (ops/pallas_decoder_block.py) instead of ~8 HBM round trips.
             # bf16 is the serving dtype; training (f32) keeps the exact
             # unfused composition (the kernel's VJP recomputes it anyway).
+            from edm_tts_tpu.ops.pallas_decoder_block import _HALO
+
             use_pallas = (
                 jax.default_backend() == "tpu"
                 and x.dtype == jnp.bfloat16
                 and self.stride % 2 == 0
+                and _HALO % self.stride == 0  # kernel halo bookkeeping
                 and self.output_dim <= 192
             )
         if use_pallas:

@@ -200,6 +200,11 @@ def _fused_forward(x, alpha0, wt, bt, ru_params, *, stride, block_f=None,
     b, t, cin = x.shape
     cout = wt.shape[2]
     s = stride
+    if s % 2 or _HALO % s:
+        raise ValueError(
+            f"fused decoder block requires an even stride dividing {_HALO}; "
+            f"got {s}"
+        )
     cin_p = cin + (-cin) % 128
     cout_p = cout + (-cout) % 128
 

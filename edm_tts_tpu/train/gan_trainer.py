@@ -189,13 +189,14 @@ class GANTrainer:
 
         out_dir = os.path.join(self.args.output_dir, "samples", f"step_{step}")
         os.makedirs(out_dir, exist_ok=True)
-        n = min(self.args.num_samples_to_log, np.asarray(recon).shape[0])
+        recon_np = np.asarray(recon)  # one device->host pull each
+        real_np = np.asarray(real)
+        n = min(self.args.num_samples_to_log, recon_np.shape[0])
         sr = self.codec.config.sample_rate
         for i in range(n):
             save_wav(os.path.join(out_dir, f"recon_{i}.wav"),
-                     np.asarray(recon)[i, :, 0], sr)
+                     recon_np[i, :, 0], sr)
             save_wav(os.path.join(out_dir, f"real_{i}.wav"),
-                     np.asarray(real)[i, :, 0], sr)
+                     real_np[i, :, 0], sr)
             # wandb.Audio-analog remote hook (reference gan_trainer.py:250-265)
-            self.metrics.log_audio(step, f"recon_{i}",
-                                   np.asarray(recon)[i, :, 0], sr)
+            self.metrics.log_audio(step, f"recon_{i}", recon_np[i, :, 0], sr)

@@ -99,18 +99,29 @@ class MetricLogger:
         self._jsonl.flush()
         scalars = {k: v for k, v in record.items() if k not in ("step", "time")}
         for t in self.trackers:
-            t.log_scalars(step, scalars)
+            self._safe(t, "log_scalars", step, scalars)
 
     def log_audio(self, step: int, name: str, waveform, sample_rate: int) -> None:
         """Fan an eval audio sample out to remote trackers (wandb.Audio
         analog). The on-disk wav export is the trainer's job; this hook is
         only the remote-tracking path."""
         for t in self.trackers:
-            t.log_audio(step, name, waveform, sample_rate)
+            self._safe(t, "log_audio", step, name, waveform, sample_rate)
+
+    def _safe(self, tracker, method, *args):
+        """Remote trackers must never kill a training run: the durable sinks
+        (jsonl/TB) are already written when these fire."""
+        try:
+            getattr(tracker, method)(*args)
+        except Exception:  # pragma: no cover - tracker-dependent
+            logger.warning(
+                "tracker %r failed in %s (ignored)", tracker, method,
+                exc_info=True,
+            )
 
     def close(self):
         self._jsonl.close()
         if self._tb is not None:
             self._tb.close()
         for t in self.trackers:
-            t.close()
+            self._safe(t, "close")

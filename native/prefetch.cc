@@ -152,8 +152,9 @@ int64_t edmpf_submit(void* h, const char* path, int64_t start,
 }
 
 // Delivers the next ticket in submission order. Returns samples per
-// channel (data copied into out, interleaved, truncated to max_samples
-// per channel), or -1 if that job failed. -2 = nothing outstanding.
+// channel (data copied into out, interleaved), or: -1 = job failed,
+// -2 = nothing outstanding, -3 = result larger than max_samples (the
+// result is consumed either way; no silent truncation).
 int64_t edmpf_next(void* h, float* out, int64_t max_samples,
                    uint32_t* sample_rate, uint32_t* channels) {
   auto* p = (Prefetcher*)h;
@@ -168,11 +169,11 @@ int64_t edmpf_next(void* h, float* out, int64_t max_samples,
   p->cv_submit.notify_all();
 
   if (r.n < 0) return -1;
-  int64_t n = r.n < max_samples ? r.n : max_samples;
-  memcpy(out, r.samples.data(), (size_t)(n * r.channels) * sizeof(float));
+  if (r.n > max_samples) return -3;  // caller buffer too small: no silent truncation
+  memcpy(out, r.samples.data(), (size_t)(r.n * r.channels) * sizeof(float));
   *sample_rate = r.sample_rate;
   *channels = r.channels;
-  return n;
+  return r.n;
 }
 
 void edmpf_destroy(void* h) {

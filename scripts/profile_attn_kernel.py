@@ -46,7 +46,6 @@ for h, d in ((16, 24), (6, 64), (16, 64), (3, 128)):
     def loss(q, k, v, m):
         return jnp.sum(flash_mha_diff(q, k, v, m).astype(jnp.float32))
 
-    g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
     gsum = jax.jit(
         lambda q, k, v, m: sum(
             jnp.sum(x.astype(jnp.float32)) for x in jax.grad(loss, (0, 1, 2))(q, k, v, m)
