@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from edm_tts_tpu.models.hubert.config import HubertConfig
+from edm_tts_tpu.ops.attention import mha
 from edm_tts_tpu.ops import conv1d
 
 Array = jax.Array
@@ -102,7 +103,7 @@ class EncoderLayer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, attn_bias: Array | None = None) -> Array:
+    def __call__(self, x: Array, key_mask: Array | None = None) -> Array:
         cfg = self.cfg
         h = cfg.hidden_size
         heads = cfg.num_attention_heads
@@ -110,18 +111,18 @@ class EncoderLayer(nn.Module):
 
         y = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                          name="layer_norm")(x)
-        q = nn.Dense(h, dtype=self.dtype, name="q_proj")(y) * (d_head**-0.5)
+        # HF scales q by d_head**-0.5 before the score einsum; ops.mha applies
+        # the same scale internally, so q is passed unscaled here. The HF
+        # additive -1e9 key bias == ops.mha's bool key-padding mask (both
+        # underflow masked keys to exactly 0 probability in f32).
+        q = nn.Dense(h, dtype=self.dtype, name="q_proj")(y)
         k = nn.Dense(h, dtype=self.dtype, name="k_proj")(y)
         v = nn.Dense(h, dtype=self.dtype, name="v_proj")(y)
         b, t, _ = y.shape
         q = q.reshape(b, t, heads, d_head)
         k = k.reshape(b, t, heads, d_head)
         v = v.reshape(b, t, heads, d_head)
-        sim = jnp.einsum("bihd,bjhd->bhij", q, k)
-        if attn_bias is not None:
-            sim = sim + attn_bias
-        attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1).astype(self.dtype)
-        o = jnp.einsum("bhij,bjhd->bihd", attn, v).reshape(b, t, h)
+        o = mha(q, k, v, mask=key_mask).reshape(b, t, h)
         x = x + nn.Dense(h, dtype=self.dtype, name="out_proj")(o)
 
         y = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
@@ -156,20 +157,19 @@ class HubertModel(nn.Module):
                                  name="feat_proj_layer_norm")(feats)
         x = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="feat_proj")(feats)
 
-        attn_bias = None
+        feat_mask = None
         if attention_mask is not None:
             feat_mask_len = cfg.feature_lengths(jnp.sum(attention_mask, axis=-1))
             feat_mask = (
                 jnp.arange(x.shape[1])[None, :] < feat_mask_len[:, None]
             )
             x = x * feat_mask[..., None].astype(x.dtype)
-            attn_bias = jnp.where(feat_mask, 0.0, -1e9)[:, None, None, :]
 
         x = x + PositionalConvEmbedding(cfg, self.dtype, name="pos_conv")(x)
 
         n_layers = cfg.num_hidden_layers if output_layer is None else output_layer
         for i in range(n_layers):
-            x = EncoderLayer(cfg, self.dtype, name=f"layer_{i}")(x, attn_bias)
+            x = EncoderLayer(cfg, self.dtype, name=f"layer_{i}")(x, feat_mask)
         if output_layer is None:
             x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                              name="encoder_layer_norm")(x)
