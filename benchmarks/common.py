@@ -12,16 +12,17 @@ import jax
 import numpy as np
 
 
-def timeit(fn, n=5):
-    """Median wall time of fn() with a forced host transfer per call."""
+def timeit(fn, n=10):
+    """Sustained wall time per fn() call: queue all n dispatches back-to-back
+    and force completion once with a single host transfer at the end. Device
+    compute serializes across queued programs, so wall/n is per-call compute;
+    per-run np.asarray timing instead measures the tunnel (~4 ms dispatch +
+    the output pull, with +-30 ms congestion swings — see bench.py)."""
     _ = np.asarray(jax.tree_util.tree_leaves(fn(0))[0])  # warmup/compile
-    times = []
-    for i in range(n):
-        t0 = time.perf_counter()
-        out = fn(i + 1)
-        _ = np.asarray(jax.tree_util.tree_leaves(out)[0])
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+    t0 = time.perf_counter()
+    outs = [fn(i + 1) for i in range(n)]
+    _ = np.asarray(jax.tree_util.tree_leaves(outs[-1])[0])
+    return (time.perf_counter() - t0) / n
 
 
 def report(metric, value, unit, baseline=None):
