@@ -17,8 +17,11 @@ from edm_tts_tpu.models.t2s import T2SConfig, TextToSemantic
 from edm_tts_tpu.train.optim import adamw, warmup_cosine_schedule
 
 batch = 32
+# gradient_checkpointing false = the reference training recipe
+# (/root/reference/configs/text_to_semantic_w_length/train_config.yaml:59);
+# the 62M model's activations fit 16G HBM without remat at batch 32
 cfg = T2SConfig(hidden_size=384, main_encoder_num_layers=12,
-                gradient_checkpointing=True)
+                gradient_checkpointing=False)
 model = TextToSemantic(cfg, dtype=jnp.bfloat16)
 rng = jax.random.PRNGKey(0)
 params = jax.jit(
