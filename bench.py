@@ -37,7 +37,9 @@ def main():
     codec_cfg = CodecConfig()
     s2a_cfg = S2AConfig(codec=codec_cfg)
     # t2s at the reference train-yaml size: hidden 384, 12 main layers
-    t2s_cfg = T2SConfig(hidden_size=384, main_encoder_num_layers=12)
+    t2s_cfg = T2SConfig(hidden_size=384, main_encoder_num_layers=12,
+                 main_encoder_num_heads=8, main_encoder_dim_head=24,
+                length_predictor_num_heads=8, length_predictor_dim_head=24)
 
     rng = jax.random.PRNGKey(0)
     s2a = InjectionConformer(s2a_cfg, dtype=dtype)

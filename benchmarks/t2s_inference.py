@@ -10,7 +10,9 @@ def main():
     from edm_tts_tpu.models.t2s import T2SConfig, TextToSemantic, t2s_sample
 
     batch, text_len, speech_len = 16, 100, 500
-    cfg = T2SConfig(hidden_size=384, main_encoder_num_layers=12)
+    cfg = T2SConfig(hidden_size=384, main_encoder_num_layers=12,
+                 main_encoder_num_heads=8, main_encoder_dim_head=24,
+                length_predictor_num_heads=8, length_predictor_dim_head=24)
     model = TextToSemantic(cfg, dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     params = jax.jit(

@@ -25,6 +25,12 @@ class T2SConfig:
     text_vocab_size: int = 256
 
     main_encoder_num_heads: int = 16
+    # Optional per-head width override. The reference computes dim_head from
+    # the CONSTRUCTOR default num_heads (16), not from a yaml heads override
+    # (configuration.py:85-86) — so its published train recipe
+    # (train_config.yaml:22 heads: 8, hidden 384) ships heads=8 x dim_head=24
+    # with inner_dim 192 != hidden. None = hidden // num_heads.
+    main_encoder_dim_head: int | None = None
     main_encoder_num_layers: int = 8
     main_encoder_ff_mult: int = 4
     main_encoder_conv_kernel_size: int = 5
@@ -33,6 +39,7 @@ class T2SConfig:
     main_encoder_conv_dropout: float = 0.0
 
     length_predictor_num_heads: int = 16
+    length_predictor_dim_head: int | None = None  # same quirk as above
     length_predictor_num_layers: int = 4
     length_predictor_ff_mult: int = 4
     length_predictor_conv_kernel_size: int = 5
@@ -60,7 +67,8 @@ class T2SConfig:
         return ConformerConfig(
             dim=self.hidden_size,
             depth=self.main_encoder_num_layers,
-            dim_head=self.hidden_size // self.main_encoder_num_heads,
+            dim_head=(self.main_encoder_dim_head
+                      or self.hidden_size // self.main_encoder_num_heads),
             heads=self.main_encoder_num_heads,
             ff_mult=self.main_encoder_ff_mult,
             conv_kernel_size=self.main_encoder_conv_kernel_size,
@@ -76,7 +84,8 @@ class T2SConfig:
         return ConformerConfig(
             dim=self.hidden_size,
             depth=self.length_predictor_num_layers,
-            dim_head=self.hidden_size // self.length_predictor_num_heads,
+            dim_head=(self.length_predictor_dim_head
+                      or self.hidden_size // self.length_predictor_num_heads),
             heads=self.length_predictor_num_heads,
             ff_mult=self.length_predictor_ff_mult,
             conv_kernel_size=self.length_predictor_conv_kernel_size,

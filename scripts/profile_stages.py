@@ -16,7 +16,9 @@ from edm_tts_tpu.models.t2s import T2SConfig, TextToSemantic, t2s_sample
 dtype = jnp.bfloat16
 codec_cfg = CodecConfig()
 s2a_cfg = S2AConfig(codec=codec_cfg)
-t2s_cfg = T2SConfig(hidden_size=384, main_encoder_num_layers=12)
+t2s_cfg = T2SConfig(hidden_size=384, main_encoder_num_layers=12,
+                 main_encoder_num_heads=8, main_encoder_dim_head=24,
+                length_predictor_num_heads=8, length_predictor_dim_head=24)
 rng = jax.random.PRNGKey(0)
 s2a = InjectionConformer(s2a_cfg, dtype=dtype)
 t2s = TextToSemantic(t2s_cfg, dtype=dtype)

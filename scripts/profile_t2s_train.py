@@ -51,6 +51,8 @@ def init_params(model):
 
 def run(label, loss_builder, remat=True, policy="dots", n=4):
     c = T2SConfig(hidden_size=384, main_encoder_num_layers=12,
+                 main_encoder_num_heads=8, main_encoder_dim_head=24,
+                length_predictor_num_heads=8, length_predictor_dim_head=24,
                   gradient_checkpointing=remat, remat_policy=policy)
     model = TextToSemantic(c, dtype=jnp.bfloat16)
     params = init_params(model)

@@ -21,6 +21,8 @@ batch = 32
 # (/root/reference/configs/text_to_semantic_w_length/train_config.yaml:59);
 # the 62M model's activations fit 16G HBM without remat at batch 32
 cfg = T2SConfig(hidden_size=384, main_encoder_num_layers=12,
+                 main_encoder_num_heads=8, main_encoder_dim_head=24,
+                length_predictor_num_heads=8, length_predictor_dim_head=24,
                 gradient_checkpointing=False)
 model = TextToSemantic(cfg, dtype=jnp.bfloat16)
 rng = jax.random.PRNGKey(0)
