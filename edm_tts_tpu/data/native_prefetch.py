@@ -71,15 +71,17 @@ class AudioPrefetcher:
             raise IndexError("no outstanding prefetch jobs")
         sr = ctypes.c_uint32(0)
         ch = ctypes.c_uint32(0)
+        # capacity is the buffer size in TOTAL interleaved floats (the C side
+        # checks n * channels against it before the memcpy)
         n = self._lib.edmpf_next(
             self._h, self._buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            self._max_samples, ctypes.byref(sr), ctypes.byref(ch),
+            self._buf.size, ctypes.byref(sr), ctypes.byref(ch),
         )
         self._outstanding -= 1
         if n == -3:
             raise RuntimeError(
                 "prefetched window exceeds the host buffer "
-                f"({self._max_samples} samples); raise max_seconds"
+                f"({self._buf.size} floats); raise max_seconds"
             )
         if n < 0:
             raise RuntimeError("native prefetch decode failed")
@@ -147,7 +149,9 @@ def prefetch_manifest(
     through untouched (the sync loader handles them). Order is preserved.
     """
     with AudioPrefetcher(n_threads, max_inflight) as pf:
-        pending: list[dict | None] = []  # None marks a passthrough slot
+        # passthrough (non-FLAC) slots are tracked by the absence of the
+        # "_prefetched" flag; every element is a dict
+        pending: list[dict] = []
 
         def drain_one():
             ex = pending.pop(0)

@@ -1,0 +1,155 @@
+"""Import reference (torch) DAC checkpoints into the flax codec param tree.
+
+The reference's deployment surface is ``DAC.from_pretrained(<checkpoint>)``
+(/root/reference/inference.py:27, modeling_dac.py:22); this module maps its
+state dict — weight-normed Conv1d/ConvTranspose1d (g, v) pairs, Snake alphas,
+and the per-level RVQ modules — onto our layout:
+
+- torch Conv1d ``v`` is ``(out, in, k)``; ours is ``(k, in, out)``.
+- torch ConvTranspose1d ``v`` is ``(in, out, k)``; ours is ``(k, in, out)``.
+  Both keep weight-norm dim=0 semantics (per-out-channel for Conv1d, per-IN-
+  channel for ConvTranspose1d), so ``g``/``v`` import verbatim (transposed)
+  and the effective kernels match bit-for-bit in f32.
+- the 12 per-level VQ modules (vector_quantizer.py:119-144) stack onto a
+  leading Q axis (rvq.py runs them as one ``lax.scan``).
+
+Handles both torch weight-norm state-dict namings: the legacy
+``weight_g``/``weight_v`` and the parametrize-based
+``parametrizations.weight.original0/1`` (torch >= 2.1 default).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from edm_tts_tpu.models.codec.config import CodecConfig
+
+
+def _np(x) -> np.ndarray:
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x, dtype=np.float32)
+
+
+def _wn_pair(sd: dict, prefix: str) -> tuple[np.ndarray, np.ndarray]:
+    """(g, v) of a weight-normed torch conv, either naming scheme."""
+    if f"{prefix}.weight_g" in sd:
+        return _np(sd[f"{prefix}.weight_g"]), _np(sd[f"{prefix}.weight_v"])
+    return (
+        _np(sd[f"{prefix}.parametrizations.weight.original0"]),
+        _np(sd[f"{prefix}.parametrizations.weight.original1"]),
+    )
+
+
+def _wnconv1d(sd: dict, prefix: str) -> dict:
+    g, v = _wn_pair(sd, prefix)
+    return {
+        "v": np.transpose(v, (2, 1, 0)),  # (out,in,k) -> (k,in,out)
+        "g": g.reshape(-1),
+        "b": _np(sd[f"{prefix}.bias"]),
+    }
+
+
+def _wnconvt1d(sd: dict, prefix: str) -> dict:
+    g, v = _wn_pair(sd, prefix)
+    return {
+        "v": np.transpose(v, (2, 0, 1)),  # (in,out,k) -> (k,in,out)
+        "g": g.reshape(-1),  # per input channel (torch weight_norm dim=0)
+        "b": _np(sd[f"{prefix}.bias"]),
+    }
+
+
+def _alpha(sd: dict, key: str) -> np.ndarray:
+    return _np(sd[key]).reshape(-1)  # (1,C,1) -> (C,)
+
+
+def _residual_unit(sd: dict, prefix: str) -> dict:
+    """Reference ResidualUnit.block = [Snake, WNConv k7, Snake, WNConv k1]
+    (nn_layers.py:35-47) -> our flat alpha1/conv7/alpha2/conv1 params."""
+    c7 = _wnconv1d(sd, f"{prefix}.block.1")
+    c1 = _wnconv1d(sd, f"{prefix}.block.3")
+    return {
+        "alpha1": _alpha(sd, f"{prefix}.block.0.alpha"),
+        "conv7_v": c7["v"],
+        "conv7_g": c7["g"],
+        "conv7_b": c7["b"],
+        "alpha2": _alpha(sd, f"{prefix}.block.2.alpha"),
+        "conv1_v": c1["v"],
+        "conv1_g": c1["g"],
+        "conv1_b": c1["b"],
+    }
+
+
+def _encoder(sd: dict, n_blocks: int) -> dict:
+    """Reference Encoder.block = [stem, EncoderBlock x N, Snake, final]
+    (encoder.py:32-58)."""
+    p: dict = {"WNConv1d_0": _wnconv1d(sd, "encoder.block.0")}
+    for i in range(n_blocks):
+        b = f"encoder.block.{i + 1}.block"
+        p[f"EncoderBlock_{i}"] = {
+            "ResidualUnit_0": _residual_unit(sd, f"{b}.0"),
+            "ResidualUnit_1": _residual_unit(sd, f"{b}.1"),
+            "ResidualUnit_2": _residual_unit(sd, f"{b}.2"),
+            "Snake_0": {"alpha": _alpha(sd, f"{b}.3.alpha")},
+            "WNConv1d_0": _wnconv1d(sd, f"{b}.4"),
+        }
+    p["Snake_0"] = {"alpha": _alpha(sd, f"encoder.block.{n_blocks + 1}.alpha")}
+    p["WNConv1d_1"] = _wnconv1d(sd, f"encoder.block.{n_blocks + 2}")
+    return p
+
+
+def _decoder(sd: dict, n_blocks: int) -> dict:
+    """Reference Decoder.model = [stem, DecoderBlock x N, Snake, final, Tanh]
+    (decoder.py:33-62)."""
+    p: dict = {"WNConv1d_0": _wnconv1d(sd, "decoder.model.0")}
+    for i in range(n_blocks):
+        b = f"decoder.model.{i + 1}.block"
+        p[f"DecoderBlock_{i}"] = {
+            "Snake_0": {"alpha": _alpha(sd, f"{b}.0.alpha")},
+            "WNConvTranspose1d_0": _wnconvt1d(sd, f"{b}.1"),
+            "ResidualUnit_0": _residual_unit(sd, f"{b}.2"),
+            "ResidualUnit_1": _residual_unit(sd, f"{b}.3"),
+            "ResidualUnit_2": _residual_unit(sd, f"{b}.4"),
+        }
+    p["Snake_0"] = {"alpha": _alpha(sd, f"decoder.model.{n_blocks + 1}.alpha")}
+    p["WNConv1d_1"] = _wnconv1d(sd, f"decoder.model.{n_blocks + 2}")
+    return p
+
+
+def _quantizer(sd: dict, n_codebooks: int) -> dict:
+    """Stack the per-level VQ modules (vector_quantizer.py:24-31) onto the
+    leading Q axis of our scan-stacked ResidualVQ (rvq.py:76-99)."""
+    in_v, in_g, in_b, cb, out_v, out_g, out_b = [], [], [], [], [], [], []
+    for i in range(n_codebooks):
+        q = f"quantizer.quantizers.{i}"
+        g, v = _wn_pair(sd, f"{q}.in_proj")
+        in_v.append(v[:, :, 0].T)  # (dc,in,1) -> (in,dc)
+        in_g.append(g.reshape(-1))
+        in_b.append(_np(sd[f"{q}.in_proj.bias"]))
+        cb.append(_np(sd[f"{q}.codebook.weight"]))
+        g, v = _wn_pair(sd, f"{q}.out_proj")
+        out_v.append(v[:, :, 0].T)  # (d,dc,1) -> (dc,d)
+        out_g.append(g.reshape(-1))
+        out_b.append(_np(sd[f"{q}.out_proj.bias"]))
+    return {
+        "in_proj_v": np.stack(in_v),
+        "in_proj_g": np.stack(in_g),
+        "in_proj_b": np.stack(in_b),
+        "codebook": np.stack(cb),
+        "out_proj_v": np.stack(out_v),
+        "out_proj_g": np.stack(out_g),
+        "out_proj_b": np.stack(out_b),
+    }
+
+
+def from_torch_state_dict(cfg: CodecConfig, sd: dict) -> dict:
+    """Reference ``DAC`` state dict (tensors or ndarrays) -> flax variables."""
+    n_enc = len(cfg.encoder_rates)
+    n_dec = len(cfg.decoder_rates)
+    return {
+        "params": {
+            "encoder": _encoder(sd, n_enc),
+            "quantizer": _quantizer(sd, cfg.n_codebooks),
+            "decoder": _decoder(sd, n_dec),
+        }
+    }

@@ -59,8 +59,11 @@ def mha(
     attn_mask = None
     if mask is not None:
         attn_mask = mask[:, None, None, :]  # (B, 1, 1, Tk) broadcast over heads/q
-    return jax.nn.dot_product_attention(
-        q, k, v, mask=attn_mask, implementation="xla"
+    # same checkpoint_name as the pallas branch so the "mha"/"dots" remat
+    # policies behave identically whichever way auto-dispatch resolves
+    return checkpoint_name(
+        jax.nn.dot_product_attention(q, k, v, mask=attn_mask, implementation="xla"),
+        "mha_out",
     )
 
 

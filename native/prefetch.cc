@@ -10,8 +10,9 @@
 // C ABI (ctypes-consumed by edm_tts_tpu/data/native_prefetch.py):
 //   edmpf_create(n_threads, max_inflight) -> handle
 //   edmpf_submit(handle, path, start, count) -> ticket (blocks if full)
-//   edmpf_next(handle, out, max_samples, *sr, *ch) -> samples per channel
-//     (delivers tickets in submission order; -1 = decode/read error)
+//   edmpf_next(handle, out, max_floats, *sr, *ch) -> samples per channel
+//     (delivers tickets in submission order; -1 = decode/read error;
+//      max_floats = capacity of out in total interleaved floats)
 //   edmpf_destroy(handle)
 
 #include <condition_variable>
@@ -72,10 +73,15 @@ struct Prefetcher {
 
 Result decode_file(const std::string& path, int64_t start, int64_t count) {
   Result r;
+  if (start < 0) return r;
   FILE* f = fopen(path.c_str(), "rb");
   if (!f) return r;
   fseek(f, 0, SEEK_END);
   long size = ftell(f);
+  if (size < 0) {  // ftell failure: don't turn -1 into a huge allocation
+    fclose(f);
+    return r;
+  }
   fseek(f, 0, SEEK_SET);
   std::vector<uint8_t> data((size_t)size);
   if (fread(data.data(), 1, (size_t)size, f) != (size_t)size) {
@@ -88,6 +94,13 @@ Result decode_file(const std::string& path, int64_t start, int64_t count) {
   if (edmflac_info(data.data(), data.size(), &info) != 0) return r;
   int64_t n = count;
   if (n < 0) n = (int64_t)info.total_samples - start;
+  if (info.total_samples > 0) {
+    // clamp to what the stream can deliver: an oversized num_frames must
+    // not drive the allocation below (decode would return fewer anyway)
+    int64_t avail = (int64_t)info.total_samples - start;
+    if (avail < 0) avail = 0;
+    if (n > avail) n = avail;
+  }
   if (n < 0) return r;
   r.samples.resize((size_t)(n * info.channels));
   int64_t got = edmflac_decode(data.data(), data.size(), start, n,
@@ -110,7 +123,14 @@ void worker_loop(Prefetcher* p) {
       job = std::move(p->queue.front());
       p->queue.pop_front();
     }
-    Result r = decode_file(job.path, job.start, job.count);
+    Result r;
+    try {
+      r = decode_file(job.path, job.start, job.count);
+    } catch (...) {
+      // bad_alloc etc. must not escape the worker thread (std::terminate);
+      // report the job as failed (r.n stays -1) instead
+      r = Result();
+    }
     {
       std::lock_guard<std::mutex> lk(p->mu);
       p->results.emplace(job.ticket, std::move(r));
@@ -153,9 +173,11 @@ int64_t edmpf_submit(void* h, const char* path, int64_t start,
 
 // Delivers the next ticket in submission order. Returns samples per
 // channel (data copied into out, interleaved), or: -1 = job failed,
-// -2 = nothing outstanding, -3 = result larger than max_samples (the
+// -2 = nothing outstanding, -3 = result larger than the buffer (the
 // result is consumed either way; no silent truncation).
-int64_t edmpf_next(void* h, float* out, int64_t max_samples,
+// ``max_floats`` is the capacity of ``out`` in TOTAL floats (all channels
+// interleaved), so the bound matches the memcpy size exactly.
+int64_t edmpf_next(void* h, float* out, int64_t max_floats,
                    uint32_t* sample_rate, uint32_t* channels) {
   auto* p = (Prefetcher*)h;
   std::unique_lock<std::mutex> lk(p->mu);
@@ -169,7 +191,7 @@ int64_t edmpf_next(void* h, float* out, int64_t max_samples,
   p->cv_submit.notify_all();
 
   if (r.n < 0) return -1;
-  if (r.n > max_samples) return -3;  // caller buffer too small: no silent truncation
+  if (r.n * (int64_t)r.channels > max_floats) return -3;  // buffer too small
   memcpy(out, r.samples.data(), (size_t)(r.n * r.channels) * sizeof(float));
   *sample_rate = r.sample_rate;
   *channels = r.channels;
