@@ -58,6 +58,12 @@ def _load_lib():
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float),
         ]
+        lib.edmflac_decode_stats.restype = ctypes.c_int64
+        lib.edmflac_decode_stats.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ]
         _lib = lib
         return lib
 
@@ -101,3 +107,34 @@ def flac_read(
         raise ValueError(f"FLAC decode error: {path}")
     audio = out[: n * info.channels].reshape(-1, info.channels).T
     return np.ascontiguousarray(audio), int(info.sample_rate)
+
+
+def flac_read_stats(
+    path: str, frame_offset: int = 0, num_frames: int = -1
+) -> tuple[np.ndarray, int, int, int]:
+    """Like ``flac_read`` but also reports (frames, samples) actually decoded
+    — with seeking (SEEKTABLE or header binary search, native/flac.cc) a late
+    window decodes O(window) samples, not O(file)."""
+    lib = _load_lib()
+    with open(path, "rb") as f:
+        data = f.read()
+    info = _FlacInfo()
+    if lib.edmflac_info(data, len(data), ctypes.byref(info)) != 0:
+        raise ValueError(f"not a FLAC file: {path}")
+    total = int(info.total_samples)
+    if num_frames < 0:
+        num_frames = total - frame_offset
+    num_frames = max(min(num_frames, total - frame_offset), 0)
+    out = np.zeros(num_frames * info.channels, dtype=np.float32)
+    frames = ctypes.c_int64(0)
+    samples = ctypes.c_int64(0)
+    n = lib.edmflac_decode_stats(
+        data, len(data), frame_offset, num_frames,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.byref(frames), ctypes.byref(samples),
+    )
+    if n < 0:
+        raise ValueError(f"FLAC decode error: {path}")
+    audio = out[: n * info.channels].reshape(-1, info.channels).T
+    return (np.ascontiguousarray(audio), int(info.sample_rate),
+            int(frames.value), int(samples.value))

@@ -29,6 +29,21 @@ from edm_tts_tpu.models.codec.layers import (
 Array = jax.Array
 
 
+def _zero_invalid(x: Array, boundary: Array | None) -> Array:
+    """Zero positions >= per-sample ``boundary`` (time axis -2).
+
+    Used by variable-length batched decoding: zeros beyond the valid region
+    reproduce exactly the zero padding an exact-size canvas's convs would
+    see, so valid outputs are bit-identical to per-length decoding
+    (invalid positions stay garbage and are trimmed by the caller).
+    """
+    if boundary is None:
+        return x
+    t = x.shape[-2]
+    keep = jnp.arange(t)[None, :] < boundary[:, None]  # (B, T)
+    return jnp.where(keep[..., None], x, 0)
+
+
 class DecoderBlock(nn.Module):
     output_dim: int
     stride: int
@@ -36,7 +51,7 @@ class DecoderBlock(nn.Module):
     use_pallas: str | bool = "auto"
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, boundary: Array | None = None) -> Array:
         snake0 = Snake()
         tconv = WNConvTranspose1d(
             self.output_dim,
@@ -52,6 +67,10 @@ class DecoderBlock(nn.Module):
         ]
 
         use_pallas = self.use_pallas
+        if boundary is not None:
+            # variable-length masked path: zeros must be re-imposed between
+            # the internal convs, which the fused kernel doesn't do
+            use_pallas = False
         if use_pallas == "auto":
             # the high-audio-rate tail blocks (C_out <= 192, even stride):
             # one VMEM residency for snake + transposed conv + 3 resunits
@@ -77,10 +96,18 @@ class DecoderBlock(nn.Module):
             ru = tuple(u(x, return_folded=True) for u in units)
             return fused_decoder_block(x, alpha0, (wt, bt), ru, self.stride)
 
-        x = snake0(x)
+        x = snake0(x)  # snake(0) == 0: no re-mask needed before the tconv
         x = tconv(x)
+        if boundary is not None:
+            # tconv output boundary: s*v (+2 when s is odd — the kernel
+            # overhang the exact canvas keeps, fed by valid inputs only)
+            boundary = self.stride * boundary + (2 if self.stride % 2 else 0)
+            x = _zero_invalid(x, boundary)
         for u in units:
             x = u(x)
+            # the unit's k=7 conv bias leaks into the invalid region; re-zero
+            # before the next cross-position conv
+            x = _zero_invalid(x, boundary)
         return x
 
 
@@ -91,11 +118,27 @@ class Decoder(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, z: Array) -> Array:
-        """``(B, T50, latent_dim)`` -> ``(B, T50 * prod(rates), d_out)``."""
+    def __call__(self, z: Array, valid_frames: Array | None = None) -> Array:
+        """``(B, T50, latent_dim)`` -> ``(B, T50 * prod(rates), d_out)``.
+
+        ``valid_frames`` (optional, ``(B,)`` int): decode a padded canvas so
+        that outputs at valid positions are bit-identical to decoding each
+        sample's exact-size canvas — invalid latents are zeroed and zeros are
+        re-imposed between conv stages, reproducing the edge padding an
+        exact canvas would see (variable-length batched inference; see
+        ``_zero_invalid``). Costs a few audio-rate ``where``s and disables
+        the fused DecoderBlock kernels.
+        """
+        boundary = valid_frames
+        z = _zero_invalid(z, boundary)
         x = WNConv1d(self.channels, 7, padding=3, dtype=self.dtype)(z)
+        x = _zero_invalid(x, boundary)
         for i, stride in enumerate(self.rates):
-            x = DecoderBlock(self.channels // 2 ** (i + 1), stride, dtype=self.dtype)(x)
+            x = DecoderBlock(self.channels // 2 ** (i + 1), stride, dtype=self.dtype)(
+                x, boundary
+            )
+            if boundary is not None:
+                boundary = stride * boundary + (2 if stride % 2 else 0)
         x = Snake()(x)
         x = WNConv1d(self.d_out, 7, padding=3, dtype=self.dtype)(x)
         return jnp.tanh(x)

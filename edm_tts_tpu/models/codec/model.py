@@ -73,12 +73,19 @@ class Codec(nn.Module):
         out["z_e"] = z
         return out
 
-    def decode(self, z: Array, length: int | None = None) -> Array:
+    def decode(
+        self,
+        z: Array,
+        length: int | None = None,
+        valid_frames: Array | None = None,
+    ) -> Array:
         """Decode latents; the conv-transpose stack emits ``T*hop + 16``
         samples (stride-5 block adds +2 pre-upsample), so callers trim to
         ``length`` exactly like reference ``DAC.decode`` (modeling_dac.py:
-        141-163, ``x[..., :length]``)."""
-        audio = self.decoder(z.astype(self.dtype))
+        141-163, ``x[..., :length]``). ``valid_frames`` (``(B,)`` int)
+        enables variable-length batched decode on a padded canvas with
+        per-sample bit-parity to exact-size decoding (see Decoder)."""
+        audio = self.decoder(z.astype(self.dtype), valid_frames)
         if length is not None:
             audio = audio[:, :length]
         return audio
@@ -97,9 +104,13 @@ class Codec(nn.Module):
         z = self.encoder(audio)
         return self.quantizer(z, n_quantizers)["codes"]
 
-    def decode_from_codes(self, codes: Array) -> Array:
+    def decode_from_codes(
+        self, codes: Array, valid_frames: Array | None = None
+    ) -> Array:
         """``(B, Q', T50)`` codes -> ``(B, T50*hop, 1)`` waveform."""
-        return self.decode(self.quantizer.from_codes(codes))
+        return self.decode(
+            self.quantizer.from_codes(codes), valid_frames=valid_frames
+        )
 
     def codes_to_features(self, codes: Array) -> Array:
         """``(B, Q', T)`` -> summed quantized features ``(B, T, D)``."""

@@ -27,7 +27,12 @@ import jax
 import jax.numpy as jnp
 
 from edm_tts_tpu.models.s2a.model import InjectionConformer
-from edm_tts_tpu.ops import random_topk_mask, sampling_mask_ratios
+from edm_tts_tpu.ops import (
+    positional_categorical,
+    positional_gumbel,
+    random_topk_mask,
+    sampling_mask_ratios,
+)
 
 Array = jax.Array
 
@@ -126,7 +131,11 @@ def s2a_sample(
             ratio, key = xs
             k_sample, k_mask = jax.random.split(key)
             logits = first_level_logits(enc_gen)  # (B, T, N)
-            sampled = jax.random.categorical(k_sample, logits, axis=-1)
+            # counter-based per-position randoms: the draw at a position is
+            # independent of the canvas length, so a bucket-padded canvas
+            # samples bit-identically to the exact-size one (see
+            # ops/masking.positional_keys)
+            sampled = positional_categorical(k_sample, logits)
             feats = apply(
                 sampled[:, None, :], method=InjectionConformer.acoustic_features
             )
@@ -142,7 +151,8 @@ def s2a_sample(
             selected = jnp.take_along_axis(probs, sampled[..., None], axis=-1)[..., 0]
             selected = jnp.where(mask, selected, jnp.inf)
             next_mask = random_topk_mask(
-                k_mask, mask_len, selected, temperature=temperature * ratio
+                k_mask, mask_len, selected, temperature=temperature * ratio,
+                gumbel=positional_gumbel(k_mask, b, t),
             )
             enc_gen = jnp.where(next_mask[:, :, None], sem + mask_tok, enc_gen)
             return (enc_gen, next_mask), None

@@ -11,6 +11,8 @@ from edm_tts_tpu.ops.rope import apply_rope, rope_frequencies, rotate_half
 from edm_tts_tpu.ops.masking import (
     cosine_schedule_mask,
     masked_mean,
+    positional_categorical,
+    positional_gumbel,
     random_topk_mask,
     sampling_mask_ratios,
 )

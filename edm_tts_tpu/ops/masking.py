@@ -41,12 +41,42 @@ def sampling_mask_ratios(steps: int) -> jnp.ndarray:
     return jnp.cos(math.pi / 2.0 * t)
 
 
+def positional_keys(key: Array, batch: int, length: int) -> Array:
+    """Counter-based per-position PRNG keys ``(B, T)``.
+
+    The key at ``[b, t]`` depends only on (key, b, t) — NOT on the canvas
+    shape — so sampling on a padded (bucketed) canvas draws bit-identical
+    randoms at valid positions to an exact-size canvas. This is what makes
+    the bucketed staged-inference path equal the exact-length run even
+    through the stochastic MaskGIT iterations.
+    """
+    idx = jnp.arange(batch)[:, None] * (1 << 20) + jnp.arange(length)[None, :]
+    return jax.vmap(jax.vmap(lambda i: jax.random.fold_in(key, i)))(idx)
+
+
+def positional_gumbel(key: Array, batch: int, length: int) -> Array:
+    """Canvas-size-invariant gumbel noise ``(B, T)`` (see positional_keys)."""
+    ks = positional_keys(key, batch, length)
+    return jax.vmap(jax.vmap(lambda k: jax.random.gumbel(k, ())))(ks)
+
+
+def positional_categorical(key: Array, logits: Array) -> Array:
+    """Categorical sample per position via gumbel-argmax with per-position
+    counter-based keys: ``(B, T, N)`` logits -> ``(B, T)`` int32 samples whose
+    value at a position is independent of the canvas length."""
+    b, t, n = logits.shape
+    ks = positional_keys(key, b, t)
+    g = jax.vmap(jax.vmap(lambda k: jax.random.gumbel(k, (n,))))(ks)
+    return jnp.argmax(logits.astype(jnp.float32) + g, axis=-1).astype(jnp.int32)
+
+
 def random_topk_mask(
     key: Array,
     mask_len: Array,
     probs: Array,
     *,
     temperature: float | Array = 1.0,
+    gumbel: Array | None = None,
 ) -> Array:
     """Re-mask the ``mask_len`` lowest-confidence positions.
 
@@ -61,9 +91,12 @@ def random_topk_mask(
       mask_len: ``(B,)`` number of positions to re-mask (int or float; floored).
       probs: ``(B, T)`` per-position confidence; positions that must never be
         re-masked should carry ``+inf``.
+      gumbel: optional pre-drawn ``(B, T)`` gumbel noise (e.g. positional);
+        drawn from ``key`` when absent.
     Returns bool ``(B, T)``; True = masked.
     """
-    gumbel = jax.random.gumbel(key, probs.shape)
+    if gumbel is None:
+        gumbel = jax.random.gumbel(key, probs.shape)
     confidence = jnp.log(probs) + temperature * gumbel
     sorted_conf = jnp.sort(confidence, axis=-1)
     idx = jnp.clip(mask_len.astype(jnp.int32), 0, probs.shape[-1] - 1)

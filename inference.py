@@ -16,6 +16,13 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def bucket_length(n: int, multiple: int, cap: int | None = None) -> int:
+    """Round ``n`` up to a multiple (cap at ``cap``) so nearby utterance
+    lengths share one compiled canvas."""
+    n = -(-max(n, 1) // multiple) * multiple
+    return min(n, cap) if cap else n
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("-s", "--speaker_prompt", required=True)
@@ -32,6 +39,10 @@ def main():
     ap.add_argument("--s2a_steps", type=int, default=8)
     ap.add_argument("--temperature", type=float, default=1.0)
     ap.add_argument("--max_speech_len", type=int, default=1250)
+    ap.add_argument("--length_bucket", type=int, default=64,
+                    help="staged mode: round the s2a canvas up to this "
+                         "multiple so lengths in one bucket share a "
+                         "compiled program")
     ap.add_argument("--gt_length", type=int, default=None,
                     help="override the predicted speech length (tokens)")
     ap.add_argument("--seed", type=int, default=0)
@@ -111,8 +122,15 @@ def main():
             max_speech_len=args.max_speech_len, gt_length=gt,
         )
         lengths = np.asarray(t2s_out["lengths"])
-        n_max = int(lengths.max())
+        # bucket the canvas length so each new utterance length within a
+        # bucket reuses ONE compiled s2a/decode program (semantic_valid /
+        # valid_frames make valid positions bit-identical to an exact-size
+        # canvas); unbucketed, every distinct length re-jits the 464M s2a scan
+        n_max = bucket_length(int(lengths.max()), args.length_bucket,
+                              args.max_speech_len)
         semantic_tokens = t2s_out["semantic_tokens"][:, :n_max]
+        lengths_dev = jnp.asarray(lengths, jnp.int32)
+        semantic_valid = jnp.arange(n_max)[None, :] < lengths_dev[:, None]
 
         # 4. semantic -> acoustic codes (zero-shot, speaker prompt broadcast)
         acoustic_codes = s2a_sample(
@@ -120,12 +138,17 @@ def main():
             jnp.broadcast_to(prompt_acoustic, (b, *prompt_acoustic.shape[1:])),
             jnp.broadcast_to(prompt_semantic, (b, *prompt_semantic.shape[1:])),
             k_s2a, steps=args.s2a_steps, temperature=args.temperature,
+            semantic_valid=semantic_valid,
         )
 
-        # 5. decode to waveforms
-        audio_out = np.asarray(tokenizer.codec.apply(
-            codec_params, acoustic_codes, method="decode_from_codes"
-        ), dtype=np.float32)
+        # 5. decode to waveforms (per-sample masked: valid audio identical
+        # to decoding each utterance at its exact length)
+        decode = jax.jit(lambda p, c, vf: tokenizer.codec.apply(
+            p, c, vf, method="decode_from_codes"
+        ))
+        audio_out = np.asarray(
+            decode(codec_params, acoustic_codes, lengths_dev), dtype=np.float32
+        )
     stem, ext = (args.output.rsplit(".", 1) + ["wav"])[:2]
     for i in range(b):
         n = int(lengths[i]) * tokenizer.downsample_factor

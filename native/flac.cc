@@ -7,10 +7,14 @@
 // Rice/Rice2 residual partitions, wasted bits, stereo decorrelation), exposed
 // through a minimal C ABI consumed via ctypes (edm_tts_tpu/data/native_flac.py).
 //
-// Sequential decode with an optional [start, start+count) output window —
-// windowed reads (the 60 s LibriLight segments) skip the copy for frames
-// outside the window but still decode them (FLAC is delta-coded; no seektable
-// use yet).
+// Windowed decode with real seeking: a [start, start+count) window first
+// positions via the SEEKTABLE metadata block when present, else by a binary
+// search over CRC-8-verified frame headers, then decodes only from the
+// preceding frame boundary — a late window of an hours-long LibriLight file
+// touches O(window) samples instead of O(file) (the reference gets this from
+// sox/torchaudio seeking, edm_tts/datasets/librilight.py:82).
+// edmflac_decode_stats exposes decoded-frame counters so callers/tests can
+// assert the seek actually bounded the work.
 //
 // Build: g++ -O3 -shared -fPIC -o libedmflac.so flac.cc
 
@@ -101,8 +105,11 @@ struct StreamInfo {
   uint32_t sample_rate = 0;
   uint32_t channels = 0;
   uint32_t bits_per_sample = 0;
+  uint32_t max_blocksize = 0;  // == min for fixed-blocksize streams
   uint64_t total_samples = 0;
   size_t audio_offset = 0;  // first frame byte offset
+  size_t seektable_off = 0;  // SEEKTABLE entry bytes (0 = absent)
+  uint32_t seektable_len = 0;
 };
 
 bool parse_streaminfo(const uint8_t* data, size_t size, StreamInfo* out) {
@@ -119,6 +126,7 @@ bool parse_streaminfo(const uint8_t* data, size_t size, StreamInfo* out) {
     if (pos + len > size) return false;
     if (type == 0 && len >= 34) {
       const uint8_t* p = data + pos;
+      out->max_blocksize = ((uint32_t)p[2] << 8) | p[3];
       out->sample_rate =
           ((uint32_t)p[10] << 12) | ((uint32_t)p[11] << 4) | (p[12] >> 4);
       out->channels = ((p[12] >> 1) & 0x7) + 1;
@@ -127,12 +135,31 @@ bool parse_streaminfo(const uint8_t* data, size_t size, StreamInfo* out) {
                            ((uint64_t)p[14] << 24) | ((uint64_t)p[15] << 16) |
                            ((uint64_t)p[16] << 8) | p[17];
       seen_streaminfo = true;
+    } else if (type == 3) {
+      out->seektable_off = pos;
+      out->seektable_len = len;
     }
     pos += len;
     if (last) break;
   }
   out->audio_offset = pos;
   return seen_streaminfo;
+}
+
+uint8_t crc8(const uint8_t* p, size_t n) {  // poly 0x07, init 0 (FLAC header CRC)
+  uint8_t c = 0;
+  while (n--) {
+    c ^= *p++;
+    for (int i = 0; i < 8; ++i)
+      c = (c & 0x80) ? (uint8_t)((c << 1) ^ 0x07) : (uint8_t)(c << 1);
+  }
+  return c;
+}
+
+uint64_t read_u64_be(const uint8_t* p) {
+  uint64_t v = 0;
+  for (int i = 0; i < 8; ++i) v = (v << 8) | p[i];
+  return v;
 }
 
 // Decode one subframe into x[0..blocksize). Returns false on error.
@@ -277,6 +304,128 @@ uint64_t read_utf8_number(BitReader& br) {
 const uint32_t kBlockSizes[16] = {0,   192, 576,  1152, 2304, 4608, 0,    0,
                                   256, 512, 1024, 2048, 4096, 8192, 16384, 32768};
 
+struct FrameHeader {
+  int64_t sample = -1;   // stream sample index of the frame's first sample
+  uint32_t blocksize = 0;
+};
+
+// Validate + parse a byte-aligned frame header at ``pos``: sync pattern,
+// reserved bits, field ranges, and the header CRC-8 — strict enough that a
+// random byte position essentially never passes, which is what makes the
+// binary-search seek below safe on files without a SEEKTABLE.
+bool parse_frame_header(const uint8_t* data, size_t size, size_t pos,
+                        const StreamInfo& si, FrameHeader* out) {
+  if (pos + 6 > size) return false;
+  if (data[pos] != 0xFF || (data[pos + 1] & 0xFC) != 0xF8) return false;
+  BitReader br{data, size};
+  br.byte_pos = pos;
+  br.read_bits(14);                      // sync (verified by the byte test)
+  br.read_bit();                         // reserved (0 via the 0xFC test)
+  uint32_t blocking = br.read_bit();     // 0 fixed-blocksize, 1 variable
+  uint32_t bs_code = (uint32_t)br.read_bits(4);
+  uint32_t sr_code = (uint32_t)br.read_bits(4);
+  uint32_t chan_code = (uint32_t)br.read_bits(4);
+  uint32_t ss_code = (uint32_t)br.read_bits(3);
+  uint32_t reserved = br.read_bit();
+  if (bs_code == 0 || sr_code == 15 || chan_code > 10 || ss_code == 3 ||
+      reserved != 0)
+    return false;
+  uint64_t number = read_utf8_number(br);
+  if (br.error) return false;
+  uint32_t blocksize;
+  if (bs_code == 6)
+    blocksize = (uint32_t)br.read_bits(8) + 1;
+  else if (bs_code == 7)
+    blocksize = (uint32_t)br.read_bits(16) + 1;
+  else
+    blocksize = kBlockSizes[bs_code];
+  if (blocksize == 0) return false;
+  if (sr_code == 12)
+    br.read_bits(8);
+  else if (sr_code == 13 || sr_code == 14)
+    br.read_bits(16);
+  if (br.error || br.bit_pos != 0 || br.byte_pos >= size) return false;
+  if (crc8(data + pos, br.byte_pos - pos) != data[br.byte_pos]) return false;
+  uint32_t nominal = si.max_blocksize ? si.max_blocksize : blocksize;
+  out->sample = blocking ? (int64_t)number : (int64_t)number * (int64_t)nominal;
+  out->blocksize = blocksize;
+  return true;
+}
+
+bool find_frame_from(const uint8_t* data, size_t size, size_t from,
+                     size_t limit, const StreamInfo& si, size_t* byte_out,
+                     FrameHeader* fh) {
+  if (limit > size) limit = size;
+  for (size_t p = from; p + 2 < limit; ++p) {
+    if (data[p] != 0xFF || (data[p + 1] & 0xFC) != 0xF8) continue;
+    if (parse_frame_header(data, size, p, si, fh)) {
+      *byte_out = p;
+      return true;
+    }
+  }
+  return false;
+}
+
+// Position the decode at the latest frame boundary <= ``start``:
+// SEEKTABLE lookup when the block exists, else binary search over verified
+// frame headers (converges to a <=64 KiB window, so the pre-roll decode is
+// bounded regardless of file length).
+void seek_to_start(const uint8_t* data, size_t size, const StreamInfo& si,
+                   int64_t start, size_t* byte_pos, int64_t* sample_pos) {
+  *byte_pos = si.audio_offset;
+  *sample_pos = 0;
+  if (start <= 0) return;
+
+  if (si.seektable_len >= 18 &&
+      si.seektable_off + si.seektable_len <= size) {
+    const uint8_t* st = data + si.seektable_off;
+    uint64_t best_sample = 0, best_off = 0;
+    bool found = false;
+    for (uint32_t i = 0; i + 18 <= si.seektable_len; i += 18) {
+      uint64_t sample = read_u64_be(st + i);
+      uint64_t off = read_u64_be(st + i + 8);
+      if (sample == 0xFFFFFFFFFFFFFFFFull) continue;  // placeholder point
+      if ((int64_t)sample <= start && (!found || sample >= best_sample)) {
+        best_sample = sample;
+        best_off = off;
+        found = true;
+      }
+    }
+    if (found) {
+      size_t cand = si.audio_offset + (size_t)best_off;
+      FrameHeader fh;
+      if (cand < size && parse_frame_header(data, size, cand, si, &fh) &&
+          fh.sample == (int64_t)best_sample) {
+        *byte_pos = cand;
+        *sample_pos = (int64_t)best_sample;
+        return;
+      }
+      // corrupt/stale seek point: fall through to the binary search
+    }
+  }
+
+  size_t lo = si.audio_offset;
+  int64_t lo_sample = 0;
+  size_t hi = size;
+  while (hi > lo + 65536) {
+    size_t mid = lo + (hi - lo) / 2;
+    FrameHeader fh;
+    size_t fb;
+    if (!find_frame_from(data, size, mid, hi, si, &fb, &fh)) {
+      hi = mid;  // no frame start in [mid, hi): target is earlier
+      continue;
+    }
+    if (fh.sample <= start) {
+      lo = fb;
+      lo_sample = fh.sample;
+    } else {
+      hi = mid;
+    }
+  }
+  *byte_pos = lo;
+  *sample_pos = lo_sample;
+}
+
 }  // namespace
 
 extern "C" {
@@ -302,8 +451,13 @@ int edmflac_info(const uint8_t* data, size_t size, FlacInfo* info) {
 // Decode samples [start, start+count) into out (interleaved float32 in
 // [-1, 1], length count * channels). count < 0 means "to the end".
 // Returns the number of samples (per channel) written, or -1 on error.
-int64_t edmflac_decode(const uint8_t* data, size_t size, int64_t start,
-                       int64_t count, float* out) {
+// ``frames_out``/``samples_out`` (optional) report how many frames/samples
+// were actually decoded — with seeking this is O(count), not O(file).
+int64_t edmflac_decode_stats(const uint8_t* data, size_t size, int64_t start,
+                             int64_t count, float* out, int64_t* frames_out,
+                             int64_t* samples_out) {
+  if (frames_out) *frames_out = 0;
+  if (samples_out) *samples_out = 0;
   StreamInfo si;
   if (!parse_streaminfo(data, size, &si)) return -1;
   if (si.channels == 0 || si.channels > 8) return -1;
@@ -314,13 +468,13 @@ int64_t edmflac_decode(const uint8_t* data, size_t size, int64_t start,
   const double scale = 1.0 / (double)(1ull << (si.bits_per_sample - 1));
 
   BitReader br{data, size};
-  br.byte_pos = si.audio_offset;
+  int64_t sample_pos = 0;  // stream position of current frame start
+  seek_to_start(data, size, si, start, &br.byte_pos, &sample_pos);
 
   // per-channel scratch (max legal blocksize 65535)
   static thread_local int64_t* chan_buf[8] = {nullptr};
   static thread_local uint32_t chan_cap = 0;
 
-  int64_t sample_pos = 0;  // stream position of current frame start
   int64_t written = 0;
 
   while (sample_pos < end && br.byte_pos < size && !br.error) {
@@ -429,8 +583,15 @@ int64_t edmflac_decode(const uint8_t* data, size_t size, int64_t start,
     if (hi > lo) written = hi - start;
 
     sample_pos = frame_end;
+    if (frames_out) ++*frames_out;
+    if (samples_out) *samples_out += blocksize;
   }
   return written;
+}
+
+int64_t edmflac_decode(const uint8_t* data, size_t size, int64_t start,
+                       int64_t count, float* out) {
+  return edmflac_decode_stats(data, size, start, count, out, nullptr, nullptr);
 }
 
 }  // extern "C"

@@ -43,6 +43,15 @@ class BitWriter:
         return bytes(self.bytes)
 
 
+def _crc8(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c ^= b
+        for _ in range(8):
+            c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+    return c
+
+
 def _utf8_number(bw: BitWriter, n: int):
     if n < 0x80:
         bw.write(n, 8)
@@ -149,16 +158,27 @@ def encode_flac(
     blocksize: int = 1024,
     subframe_kind: str = "fixed",
     stereo_mode: str = "independent",
+    seek_every_frames: int | None = None,
     **kw,
 ) -> bytes:
-    """``channels``: (C, T) int array. Returns a complete FLAC stream."""
+    """``channels``: (C, T) int array. Returns a complete FLAC stream.
+
+    ``seek_every_frames``: write a SEEKTABLE metadata block with one seek
+    point every N frames (as the stock flac encoder does every 10 s) —
+    exercises the native decoder's seektable fast path.
+    """
     channels = np.asarray(channels, dtype=np.int64)
     nch, total = channels.shape
 
+    n_points = 0
+    if seek_every_frames:
+        n_frames_total = -(-total // blocksize)
+        n_points = -(-n_frames_total // seek_every_frames)
+
     bw = BitWriter()
     bw.bytes += b"fLaC"
-    # STREAMINFO (last metadata block)
-    bw.write(0x80 | 0, 8)
+    # STREAMINFO (last metadata block unless a SEEKTABLE follows)
+    bw.write((0x00 if n_points else 0x80) | 0, 8)
     bw.write(34, 24)
     bw.write(blocksize, 16)
     bw.write(blocksize, 16)
@@ -171,6 +191,17 @@ def encode_flac(
     for _ in range(16):
         bw.write(0, 8)
 
+    entries_off = None
+    if n_points:
+        bw.write(0x80 | 3, 8)  # SEEKTABLE, last metadata block
+        bw.write(n_points * 18, 24)
+        entries_off = len(bw.bytes)
+        for _ in range(n_points):  # placeholder points (sample = all ones)
+            bw.bytes += b"\xff" * 8 + b"\x00" * 10
+
+    audio_offset = len(bw.bytes)
+    seek_entries: list[tuple[int, int, int]] = []
+
     chan_code = {"independent": nch - 1, "left_side": 8, "right_side": 9,
                  "mid_side": 10}[stereo_mode]
 
@@ -179,6 +210,10 @@ def encode_flac(
     while pos < total:
         n = min(blocksize, total - pos)
         block = channels[:, pos : pos + n]
+        if (seek_every_frames and frame_no % seek_every_frames == 0
+                and len(seek_entries) < n_points):
+            seek_entries.append((pos, len(bw.bytes) - audio_offset, n))
+        hstart = len(bw.bytes)
         bw.write(0x3FFE, 14)
         bw.write(0, 1)
         bw.write(0, 1)  # fixed blocksize strategy
@@ -189,7 +224,7 @@ def encode_flac(
         bw.write(0, 1)
         _utf8_number(bw, frame_no)
         bw.write(n - 1, 16)
-        bw.write(0, 8)  # CRC-8 (decoder does not verify)
+        bw.write(_crc8(bytes(bw.bytes[hstart:])), 8)  # real header CRC-8
 
         if stereo_mode == "independent":
             subs = [(block[c], bps) for c in range(nch)]
@@ -209,4 +244,11 @@ def encode_flac(
         pos += n
         frame_no += 1
 
-    return bw.getvalue()
+    data = bytearray(bw.getvalue())
+    if entries_off is not None:
+        for i, (sample, off, bsz) in enumerate(seek_entries):
+            e = entries_off + i * 18
+            data[e : e + 8] = sample.to_bytes(8, "big")
+            data[e + 8 : e + 16] = off.to_bytes(8, "big")
+            data[e + 16 : e + 18] = bsz.to_bytes(2, "big")
+    return bytes(data)
