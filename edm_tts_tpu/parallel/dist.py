@@ -50,3 +50,25 @@ def all_gather_metrics(value: float) -> np.ndarray:
     return np.asarray(
         multihost_utils.process_allgather(np.asarray([value]))
     ).reshape(-1)
+
+
+def global_mean_metrics(totals: dict, count: int) -> dict:
+    """Global weighted mean of per-rank metric sums.
+
+    Each rank passes its local metric SUMS and batch count; the result is
+    the mean over every batch on every rank — so all hosts report identical
+    eval metrics and make identical best-model decisions, matching the
+    reference's ``gather_for_metrics`` eval (gan_trainer.py:229-248). On a
+    single process this is just ``totals / count``.
+    """
+    if jax.process_count() == 1:
+        return {k: v / max(count, 1) for k, v in totals.items()}
+    from jax.experimental import multihost_utils
+
+    keys = sorted(totals)
+    vec = np.asarray([float(totals[k]) for k in keys] + [float(count)])
+    sums = np.asarray(multihost_utils.process_allgather(vec)).reshape(
+        jax.process_count(), -1
+    ).sum(axis=0)
+    n = max(sums[-1], 1.0)
+    return {k: float(sums[i]) / n for i, k in enumerate(keys)}

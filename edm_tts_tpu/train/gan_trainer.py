@@ -177,7 +177,13 @@ class GANTrainer:
             last_recon, last_real = recon, audio
         if log_audio_step is not None and last_recon is not None:
             self._log_audio_samples(log_audio_step, last_real, last_recon)
-        return {"mel_loss": float(np.mean(losses)) if losses else float("nan")}
+        # cross-process mean: every host sees the same mel loss, so the
+        # best-model export decision (train loop) is globally consistent
+        from edm_tts_tpu.parallel.dist import global_mean_metrics
+
+        if not losses and jax.process_count() == 1:
+            return {"mel_loss": float("nan")}
+        return global_mean_metrics({"mel_loss": float(np.sum(losses))}, len(losses))
 
     def _log_audio_samples(self, step: int, real, recon):
         """Write eval reconstruction samples as wavs (the wandb.Audio logging

@@ -209,4 +209,8 @@ class Trainer:
             for k, v in out.items():
                 totals[k] = totals.get(k, 0.0) + float(v)
             n += 1
-        return {k: v / max(n, 1) for k, v in totals.items()}
+        # cross-process mean so every host reports the same eval metrics
+        # (reference gather_for_metrics, gan_trainer.py:229-248)
+        from edm_tts_tpu.parallel.dist import global_mean_metrics
+
+        return global_mean_metrics(totals, n)
