@@ -156,6 +156,8 @@ if "old_embed_ce" in which:
     run("scatter embed/CE (round-1 style)", old_embed_ce)
 if "nolen" in which:
     run("- length predictor", no_length_loss)
+if "nolen_noremat" in which:
+    run("- length predictor, remat OFF (recipe)", no_length_loss, remat=False)
 if "enc" in which:
     run("encoder only (no embed/CE/head)", encoder_only)
 if "fullremat" in which:
