@@ -142,6 +142,66 @@ def _quantizer(sd: dict, n_codebooks: int) -> dict:
     }
 
 
+def _wnconv2d(sd: dict, prefix: str) -> dict:
+    """torch WNConv2d (out,in,kh,kw) -> NHWC (kh,kw,in,out) v/g/b."""
+    g, v = _wn_pair(sd, prefix)
+    return {
+        "v": np.transpose(v, (2, 3, 1, 0)),
+        "g": g.reshape(-1),
+        "b": _np(sd[f"{prefix}.bias"]),
+    }
+
+
+def discriminator_from_torch_state_dict(cfg, sd: dict) -> dict:
+    """Reference ``DACDiscriminator`` state dict -> flax Discriminator tree.
+
+    The reference orders ``discriminators.{i}`` as MPDs, MSDs, MRDs
+    (discriminators.py:269-273); conv layers sit behind a
+    ``Sequential(conv, LeakyReLU)`` (index .0) except the act=False posts.
+    ``cfg`` is our DiscriminatorConfig (periods/rates/fft_sizes/bands).
+    """
+    p: dict = {}
+    di = 0
+    for period in cfg.periods:
+        base = f"discriminators.{di}"
+        mp: dict = {}
+        for j in range(5):
+            mp[f"WNConv2d_{j}"] = _wnconv2d(sd, f"{base}.convs.{j}.0")
+        mp["WNConv2d_5"] = _wnconv2d(sd, f"{base}.conv_post")
+        p[f"mpd_{period}"] = mp
+        di += 1
+    for rate in cfg.rates:
+        base = f"discriminators.{di}"
+        ms: dict = {}
+        for j in range(6):
+            g, v = _wn_pair(sd, f"{base}.convs.{j}.0")
+            ms[f"WNConv1dDisc_{j}"] = {
+                "v": np.transpose(v, (2, 1, 0)),  # (out,in/g,k)->(k,in/g,out)
+                "g": g.reshape(-1),
+                "b": _np(sd[f"{base}.convs.{j}.0.bias"]),
+            }
+        g, v = _wn_pair(sd, f"{base}.conv_post")
+        ms["WNConv1dDisc_6"] = {
+            "v": np.transpose(v, (2, 1, 0)),
+            "g": g.reshape(-1),
+            "b": _np(sd[f"{base}.conv_post.bias"]),
+        }
+        p[f"msd_{rate}"] = ms
+        di += 1
+    for fft in cfg.fft_sizes:
+        base = f"discriminators.{di}"
+        mr: dict = {}
+        for bi in range(len(cfg.bands)):
+            for li in range(5):
+                mr[f"band{bi}_conv{li}"] = _wnconv2d(
+                    sd, f"{base}.band_convs.{bi}.{li}.0"
+                )
+        mr["conv_post"] = _wnconv2d(sd, f"{base}.conv_post")
+        p[f"mrd_{fft}"] = mr
+        di += 1
+    return {"params": p}
+
+
 def from_torch_state_dict(cfg: CodecConfig, sd: dict) -> dict:
     """Reference ``DAC`` state dict (tensors or ndarrays) -> flax variables."""
     n_enc = len(cfg.encoder_rates)

@@ -73,13 +73,21 @@ def multi_scale_mel_loss(
     log_weight: float = 1.0,
     power: float = 1.0,
 ) -> Array:
-    """Multi-scale mel distance (dac_loss.py:207-292; YAML defaults)."""
+    """Multi-scale mel distance (dac_loss.py:207-292; YAML defaults).
+
+    The mels are of the POWER spectrogram: the reference constructs
+    ``torchaudio.transforms.MelSpectrogram`` without a ``power`` argument
+    (dac_loss.py:259-268), so torchaudio's default 2.0 applies. The
+    ``power`` parameter here is a different knob — the pre-log10 exponent
+    from the train YAML (1.0) — and does NOT feed the spectrogram.
+    Verified differentially in tests/test_convert_losses.py.
+    """
     x = jnp.squeeze(x, -1) if x.shape[-1] == 1 else x
     y = jnp.squeeze(y, -1) if y.shape[-1] == 1 else y
     loss = 0.0
     for w, m, lo, hi in zip(window_lengths, n_mels, mel_fmin, mel_fmax):
-        xm = mel_spectrogram(x, sample_rate, w, m, w // 4, fmin=lo, fmax=hi, power=1.0)
-        ym = mel_spectrogram(y, sample_rate, w, m, w // 4, fmin=lo, fmax=hi, power=1.0)
+        xm = mel_spectrogram(x, sample_rate, w, m, w // 4, fmin=lo, fmax=hi, power=2.0)
+        ym = mel_spectrogram(y, sample_rate, w, m, w // 4, fmin=lo, fmax=hi, power=2.0)
         loss += log_weight * l1(
             jnp.log10(jnp.maximum(xm, clamp_eps) ** power),
             jnp.log10(jnp.maximum(ym, clamp_eps) ** power),

@@ -262,14 +262,16 @@ class Conformer(nn.Module):
         x: Array,
         *,
         mask: Array | None = None,
+        conv_pad_mask: Array | None = None,
         output_layer_idx: int | None = None,
         train: bool = False,
         return_attn: bool = False,
     ) -> Array:
         rope = rope_frequencies(x.shape[-2], self.cfg.dim_head)
 
-        def apply_block(mdl, x, rope, mask):
-            return mdl(x, rope=rope, mask=mask, train=train)
+        def apply_block(mdl, x, rope, mask, conv_pad_mask):
+            return mdl(x, rope=rope, mask=mask, conv_pad_mask=conv_pad_mask,
+                       train=train)
 
         if self.cfg.remat and train:
             apply_block = nn.remat(
@@ -278,11 +280,12 @@ class Conformer(nn.Module):
         attns = [] if return_attn else None
         for i, block in enumerate(self.blocks):
             if return_attn:
-                x, attn = block(x, rope=rope, mask=mask, train=train,
+                x, attn = block(x, rope=rope, mask=mask,
+                                conv_pad_mask=conv_pad_mask, train=train,
                                 return_attn=True)
                 attns.append(attn)
             else:
-                x = apply_block(block, x, rope, mask)
+                x = apply_block(block, x, rope, mask, conv_pad_mask)
             if output_layer_idx is not None and i == output_layer_idx:
                 return (x, attns) if return_attn else x
         return (x, attns) if return_attn else x

@@ -37,7 +37,9 @@ from edm_tts_tpu.ops import (
 Array = jax.Array
 
 
-@functools.partial(jax.jit, static_argnums=(0,), static_argnames=("steps",))
+@functools.partial(
+    jax.jit, static_argnums=(0,), static_argnames=("steps", "greedy")
+)
 def s2a_sample(
     model: InjectionConformer,
     params,
@@ -49,6 +51,7 @@ def s2a_sample(
     steps: int = 8,
     temperature: float = 1.0,
     semantic_valid: Array | None = None,
+    greedy: bool = False,
 ) -> Array:
     """Zero-shot semantic->acoustic generation.
 
@@ -135,7 +138,12 @@ def s2a_sample(
             # independent of the canvas length, so a bucket-padded canvas
             # samples bit-identically to the exact-size one (see
             # ops/masking.positional_keys)
-            sampled = positional_categorical(k_sample, logits)
+            # greedy: argmax instead of categorical draws — deterministic
+            # mode for the differential sampler-parity tests
+            if greedy:
+                sampled = jnp.argmax(logits, axis=-1)
+            else:
+                sampled = positional_categorical(k_sample, logits)
             feats = apply(
                 sampled[:, None, :], method=InjectionConformer.acoustic_features
             )

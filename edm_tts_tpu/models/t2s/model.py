@@ -75,17 +75,39 @@ class TextToSemantic(nn.Module):
         embeddings: Array,
         attention_mask: Array | None = None,
         *,
+        conv_pad_mask: Array | None = None,
         train: bool = False,
     ) -> Array:
         """``(B, L, H)`` -> semantic logits ``(B, L, V_sem)``
-        (reference :146-162, without the masked gather — dense)."""
-        out = self.conformer(embeddings, mask=attention_mask, train=train)
+        (reference :146-162, without the masked gather — dense).
+
+        ``conv_pad_mask`` is the inference-only extension (see
+        ConvModule): the sampler passes it so a padded canvas computes
+        exactly like the reference's exact-size batch-1 canvas; training
+        leaves it None to preserve the reference's unmasked-conv behavior
+        on padded batches.
+        """
+        out = self.conformer(
+            embeddings, mask=attention_mask, conv_pad_mask=conv_pad_mask,
+            train=train,
+        )
         return self.pred_head(self._pred_transform(out))
 
     def predict_log_length(
-        self, text_ids: Array, text_mask: Array | None = None, *, train: bool = False
+        self,
+        text_ids: Array,
+        text_mask: Array | None = None,
+        *,
+        mask_conv: bool = False,
+        train: bool = False,
     ) -> Array:
-        """[LEN] + text embeds -> predicted log speech length ``(B,)``."""
+        """[LEN] + text embeds -> predicted log speech length ``(B,)``.
+
+        ``mask_conv=True`` (inference) zeroes padded positions before the
+        depthwise convs so a right-padded text batch predicts exactly like
+        the reference's exact-size batch-1 input; training keeps the
+        reference's unmasked-conv behavior on padded batches.
+        """
         b = text_ids.shape[0]
         text_emb = self.embed(text_ids)
         inp = jnp.concatenate(
@@ -97,7 +119,10 @@ class TextToSemantic(nn.Module):
             mask = jnp.concatenate(
                 [jnp.ones((b, 1), bool), text_mask.astype(bool)], axis=1
             )
-        out = self.length_predictor(inp, mask=mask, train=train)
+        out = self.length_predictor(
+            inp, mask=mask, conv_pad_mask=mask if mask_conv else None,
+            train=train,
+        )
         return self.length_pred_head(out[:, 0])[..., 0]
 
     def extract_features(

@@ -72,7 +72,9 @@ def build_canvas(
 
 
 @functools.partial(
-    jax.jit, static_argnums=(0,), static_argnames=("pred_iters", "max_speech_len")
+    jax.jit,
+    static_argnums=(0,),
+    static_argnames=("pred_iters", "max_speech_len", "greedy"),
 )
 def t2s_sample(
     model: TextToSemantic,
@@ -85,6 +87,7 @@ def t2s_sample(
     temperature: float = 1.0,
     max_speech_len: int = 1250,
     gt_length: Array | None = None,
+    greedy: bool = False,
 ) -> dict[str, Array]:
     """Batched text->semantic generation.
 
@@ -103,7 +106,8 @@ def t2s_sample(
     text_mask = jnp.arange(lt)[None, :] < text_lengths[:, None]
     if gt_length is None:
         log_len = apply(
-            text_tokens, text_mask, method=TextToSemantic.predict_log_length
+            text_tokens, text_mask, mask_conv=True,
+            method=TextToSemantic.predict_log_length,
         )
         lengths = jnp.ceil(jnp.exp(log_len.astype(jnp.float32))).astype(jnp.int32)
     else:
@@ -116,8 +120,11 @@ def t2s_sample(
 
     def logits_fn(tokens):
         emb = apply(tokens, method=TextToSemantic.embed)
+        # conv_pad_mask: padded canvas computes exactly like the reference's
+        # exact-size one (inference-only conv masking, see ConvModule)
         return apply(
-            emb, attention, method=TextToSemantic.embeddings_to_logits
+            emb, attention, conv_pad_mask=attention,
+            method=TextToSemantic.embeddings_to_logits,
         )  # (B, L, V_sem)
 
     ratios = sampling_mask_ratios(pred_iters)
@@ -128,7 +135,13 @@ def t2s_sample(
         ratio, key = xs
         k_sample, k_mask = jax.random.split(key)
         logits = logits_fn(sampled_tokens)
-        sampled = jax.random.categorical(k_sample, logits, axis=-1)
+        # greedy: argmax instead of categorical draws — a deterministic mode
+        # used by the differential sampler-parity tests (the reference loop
+        # is made greedy the same way by patching torch Categorical)
+        if greedy:
+            sampled = jnp.argmax(logits, axis=-1)
+        else:
+            sampled = jax.random.categorical(k_sample, logits, axis=-1)
 
         mask_len = jnp.floor(init_num * ratio)
         mask_len = jnp.maximum(1.0, jnp.minimum(mask_len, init_num))

@@ -57,3 +57,47 @@ def test_biquad_scan_matches_scipy():
         ours = np.asarray(biquad_scan(b, a, jnp.asarray(x)))
         ref = lfilter(b, a, x, axis=-1)
         np.testing.assert_allclose(ours, ref, atol=1e-3, rtol=1e-3)
+
+
+def test_random_topk_mask_matches_reference_torch():
+    """Differential: our random_topk_mask vs the actual reference
+    implementation (edm_tts/utils/utils.py:49-60) with the SAME gumbel noise
+    injected into both — exact boolean equality across temperatures and
+    mask lengths (incl. +inf already-committed positions)."""
+    import torch
+
+    from reference_torch import install_reference_path
+
+    install_reference_path()
+    from edm_tts.utils.utils import random_topk_mask as ref_topk
+
+    rng = np.random.default_rng(0)
+    b, t = 4, 24
+    probs = rng.uniform(0.01, 1.0, (b, t))
+    probs[0, 3] = np.inf  # committed position (sampler carry semantics)
+    gumbel = rng.gumbel(size=(b, t))
+
+    class FixedDist:
+        def sample(self, shape):
+            # reference calls distribution.sample(probs.shape) and squeezes
+            # the trailing dim added by torch Gumbel's batch shape
+            return torch.from_numpy(gumbel).unsqueeze(-1)
+
+    for temperature in (0.0, 0.37, 1.0):
+        for mask_len in ([1, 5, 10, 23], [0, 0, 0, 0]):
+            ref = ref_topk(
+                torch.tensor(mask_len, dtype=torch.float64),
+                torch.from_numpy(probs),
+                FixedDist(),
+                temperature=temperature,
+            ).numpy()
+            mine = np.asarray(
+                random_topk_mask(
+                    jax.random.PRNGKey(0),
+                    jnp.asarray(mask_len, jnp.float32),
+                    jnp.asarray(probs, jnp.float32),
+                    temperature=temperature,
+                    gumbel=jnp.asarray(gumbel, jnp.float32),
+                )
+            )
+            np.testing.assert_array_equal(mine, ref, err_msg=f"T={temperature}")
