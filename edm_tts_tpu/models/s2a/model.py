@@ -251,6 +251,7 @@ class InjectionConformer(nn.Module):
         semantic_tokens: Array,
         *,
         mask_rng: Array,
+        mask_override: Array | None = None,
         train: bool = True,
     ) -> dict[str, Array]:
         """Masked-LM training forward (reference modeling:76-128).
@@ -258,6 +259,9 @@ class InjectionConformer(nn.Module):
         Args:
           acoustic_tokens: ``(B, Q, T)`` int codes.
           semantic_tokens: ``(B, T)`` int tokens.
+          mask_override: optional explicit ``(B, T)`` bool mask replacing the
+            cosine-schedule draw — used by the differential train-loss
+            parity tests to inject the same mask on both sides.
         """
         cfg = self.cfg
         b, t = semantic_tokens.shape
@@ -265,7 +269,10 @@ class InjectionConformer(nn.Module):
         ac_unred = self.acoustic_features_unreduced(acoustic_tokens)  # (B,Q,T,D)
         ac0 = self.acoustic_feat_proj(ac_unred[:, 0].astype(self.dtype))
 
-        mask = cosine_schedule_mask(mask_rng, b, t)
+        if mask_override is not None:
+            mask = mask_override
+        else:
+            mask = cosine_schedule_mask(mask_rng, b, t)
         enc_in = jnp.where(
             mask[:, :, None], sem + self.mask_token_value(), sem + ac0
         )

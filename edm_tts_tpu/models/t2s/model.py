@@ -150,6 +150,7 @@ class TextToSemantic(nn.Module):
         speech_lengths: Array,
         *,
         mask_rng: Array,
+        mask_override: Array | None = None,
         train: bool = True,
     ) -> dict[str, Array]:
         """Masked-LM + length loss training forward.
@@ -160,13 +161,19 @@ class TextToSemantic(nn.Module):
           speech_mask: ``(B, L)`` bool, True on the semantic-token span.
           text_ids: ``(B, Lt)`` text byte tokens (shifted by num_special).
           speech_lengths: ``(B,)`` float speech-span lengths.
+          mask_override: optional explicit ``(B, L)`` bool mask replacing the
+            cosine-schedule draw — used by the differential train-loss
+            parity tests to inject the same mask on both sides.
         """
         cfg = self.cfg
         b, l = input_ids.shape
 
-        u_key, b_key = jax.random.split(mask_rng)
-        u = jax.random.uniform(u_key, (b, 1), minval=0.0, maxval=math.pi / 2)
-        mask = (jax.random.uniform(b_key, (b, l)) < jnp.cos(u)) & speech_mask
+        if mask_override is not None:
+            mask = mask_override & speech_mask
+        else:
+            u_key, b_key = jax.random.split(mask_rng)
+            u = jax.random.uniform(u_key, (b, 1), minval=0.0, maxval=math.pi / 2)
+            mask = (jax.random.uniform(b_key, (b, l)) < jnp.cos(u)) & speech_mask
 
         mask_tok = jnp.asarray(SPECIAL_TOKENS["mask"], input_ids.dtype)
         masked_input = jnp.where(mask, mask_tok, input_ids)

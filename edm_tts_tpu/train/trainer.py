@@ -39,7 +39,10 @@ class TrainingArguments:
     max_steps: int = 100_000
     learning_rate: float = 3e-4
     warmup_steps: int = 4000
-    weight_decay: float = 0.01
+    # HF TrainingArguments defaults (weight_decay 0.0); the reference YAMLs
+    # train s2a/t2s with betas (0.8, 0.99), wd 0.0 — set via the entry
+    # scripts (configs/*/train_config.yaml:62-67 in the reference).
+    weight_decay: float = 0.0
     adam_beta1: float = 0.9
     adam_beta2: float = 0.999
     adam_epsilon: float = 1e-8

@@ -56,7 +56,10 @@ def main():
         max_steps=raw.get("max_steps", 300_000),
         learning_rate=raw.get("learning_rate", 2.5e-4),
         warmup_steps=raw.get("warmup_steps", 4000),
-        weight_decay=raw.get("weight_decay", 0.01),
+        weight_decay=raw.get("weight_decay", 0.0),
+        adam_beta1=raw.get("adam_beta1", 0.8),
+        adam_beta2=raw.get("adam_beta2", 0.99),
+        adam_epsilon=raw.get("adam_epsilon", 1e-8),
         max_grad_norm=raw.get("max_grad_norm", 0.5),
         logging_steps=raw.get("logging_steps", 100),
         eval_steps=raw.get("eval_steps", 1000),
