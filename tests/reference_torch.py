@@ -23,6 +23,19 @@ def install_reference_path() -> None:
             mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
             sys.modules[name] = mod
     sys.modules["torchaudio"].functional = sys.modules["torchaudio.functional"]
+    if not hasattr(sys.modules["torchaudio.functional"], "resample"):
+        # torchaudio.functional.resample is an identity at equal rates (its
+        # first branch); DAC.preprocess (modeling_dac.py:88) calls it with
+        # orig == target whenever a sample_rate is passed. Differential
+        # tests only ever exercise the equal-rate path.
+        def _resample(waveform, orig_freq, new_freq, **kw):
+            if int(orig_freq) == int(new_freq):
+                return waveform
+            raise NotImplementedError(
+                "reference_torch stub: only equal-rate resample supported"
+            )
+
+        sys.modules["torchaudio.functional"].resample = _resample
     tfm = sys.modules["torchaudio.transforms"]
     sys.modules["torchaudio"].transforms = tfm
     if not hasattr(tfm, "Spectrogram"):
@@ -109,6 +122,14 @@ def install_reference_path() -> None:
                 ).transpose(-1, -2)
 
         tfm.MelSpectrogram = MelSpectrogram
+    if "wandb" not in sys.modules:
+        # gan_trainer.py imports wandb at module level; only wandb.Audio is
+        # referenced (sample logging, :259) and never on the paths the
+        # differential tests drive.
+        wandb = types.ModuleType("wandb")
+        wandb.__spec__ = importlib.machinery.ModuleSpec("wandb", None)
+        wandb.Audio = object
+        sys.modules["wandb"] = wandb
     # APPEND, not prepend: the reference root also holds run_*.py /
     # inference.py files whose names collide with ours — the repo root must
     # stay first so `import run_semantic_to_acoustic_training` resolves to
