@@ -28,7 +28,11 @@ from edm_tts_tpu.models.codec.config import CodecConfig
 def _np(x) -> np.ndarray:
     if hasattr(x, "detach"):
         x = x.detach().cpu().numpy()
-    return np.asarray(x, dtype=np.float32)
+    # always copy: torch's .numpy() shares storage with the live tensor, and
+    # on the CPU backend jnp.asarray is zero-copy too — without this, a torch
+    # optimizer stepping the source model would silently mutate the
+    # "converted" params.
+    return np.array(x, dtype=np.float32)
 
 
 def _wn_pair(sd: dict, prefix: str) -> tuple[np.ndarray, np.ndarray]:

@@ -19,7 +19,11 @@ import numpy as np
 def _np(x) -> np.ndarray:
     if hasattr(x, "detach"):
         x = x.detach().cpu().numpy()
-    return np.asarray(x, dtype=np.float32)
+    # always copy: torch's .numpy() shares storage with the live tensor, and
+    # on the CPU backend jnp.asarray is zero-copy too — without this, a torch
+    # optimizer stepping the source model would silently mutate the
+    # "converted" params.
+    return np.array(x, dtype=np.float32)
 
 
 def linear(sd: dict, prefix: str, bias: bool = True) -> dict:

@@ -16,7 +16,9 @@ from edm_tts_tpu.models.hubert.config import HubertConfig
 
 
 def _t(w) -> np.ndarray:
-    return np.asarray(w, dtype=np.float32)
+    # always copy (torch .numpy() views share storage with the live tensor;
+    # CPU-backend jnp.asarray is zero-copy as well)
+    return np.array(w, dtype=np.float32)
 
 
 def from_hf_state_dict(cfg: HubertConfig, sd: dict) -> dict:
