@@ -217,3 +217,117 @@ def from_torch_state_dict(cfg: CodecConfig, sd: dict) -> dict:
             "decoder": _decoder(sd, n_dec),
         }
     }
+
+
+# ---------------------------------------------------------------------------
+# Reverse direction: flax -> reference torch state dict (export). Exact
+# inverse of the import above (transposes/reshapes only), so torch -> flax ->
+# torch round-trips bit-identically in f32. The weight-norm naming matches
+# torch's parametrize scheme (``parametrizations.weight.original0/1``, the
+# form this torch emits and ``_wn_pair`` accepts); pass ``legacy_wn=True``
+# for the old ``weight_g``/``weight_v`` names.
+
+
+def _f32(x) -> np.ndarray:
+    return np.array(np.asarray(x), dtype=np.float32)
+
+
+def _wn_keys(prefix: str, legacy_wn: bool) -> tuple[str, str]:
+    if legacy_wn:
+        return f"{prefix}.weight_g", f"{prefix}.weight_v"
+    return (
+        f"{prefix}.parametrizations.weight.original0",
+        f"{prefix}.parametrizations.weight.original1",
+    )
+
+
+def _wnconv1d_to_torch(out: dict, p: dict, prefix: str, legacy_wn: bool) -> None:
+    gk, vk = _wn_keys(prefix, legacy_wn)
+    out[gk] = _f32(p["g"]).reshape(-1, 1, 1)  # (out,) -> (out,1,1)
+    out[vk] = np.transpose(_f32(p["v"]), (2, 1, 0))  # (k,in,out) -> (out,in,k)
+    out[f"{prefix}.bias"] = _f32(p["b"])
+
+
+def _wnconvt1d_to_torch(out: dict, p: dict, prefix: str, legacy_wn: bool) -> None:
+    gk, vk = _wn_keys(prefix, legacy_wn)
+    out[gk] = _f32(p["g"]).reshape(-1, 1, 1)  # (in,) -> (in,1,1)
+    out[vk] = np.transpose(_f32(p["v"]), (1, 2, 0))  # (k,in,out) -> (in,out,k)
+    out[f"{prefix}.bias"] = _f32(p["b"])
+
+
+def _snake_to_torch(out: dict, alpha, key: str) -> None:
+    out[key] = _f32(alpha).reshape(1, -1, 1)  # (C,) -> (1,C,1)
+
+
+def _residual_unit_to_torch(out: dict, p: dict, prefix: str, legacy_wn: bool) -> None:
+    _snake_to_torch(out, p["alpha1"], f"{prefix}.block.0.alpha")
+    _wnconv1d_to_torch(
+        out,
+        {"v": p["conv7_v"], "g": p["conv7_g"], "b": p["conv7_b"]},
+        f"{prefix}.block.1",
+        legacy_wn,
+    )
+    _snake_to_torch(out, p["alpha2"], f"{prefix}.block.2.alpha")
+    _wnconv1d_to_torch(
+        out,
+        {"v": p["conv1_v"], "g": p["conv1_g"], "b": p["conv1_b"]},
+        f"{prefix}.block.3",
+        legacy_wn,
+    )
+
+
+def to_torch_state_dict(
+    cfg: CodecConfig, variables: dict, legacy_wn: bool = False
+) -> dict:
+    """Flax codec variables -> reference ``DAC`` state dict (np.float32).
+
+    Loadable by the reference ``DAC`` via ``load_state_dict`` / safetensors
+    export (modeling_dac.py:22; the reference has no non-parameter buffers).
+    """
+    p = variables["params"]
+    out: dict = {}
+
+    enc = p["encoder"]
+    n_enc = len(cfg.encoder_rates)
+    _wnconv1d_to_torch(out, enc["WNConv1d_0"], "encoder.block.0", legacy_wn)
+    for i in range(n_enc):
+        b = f"encoder.block.{i + 1}.block"
+        eb = enc[f"EncoderBlock_{i}"]
+        for j in range(3):
+            _residual_unit_to_torch(out, eb[f"ResidualUnit_{j}"], f"{b}.{j}", legacy_wn)
+        _snake_to_torch(out, eb["Snake_0"]["alpha"], f"{b}.3.alpha")
+        _wnconv1d_to_torch(out, eb["WNConv1d_0"], f"{b}.4", legacy_wn)
+    _snake_to_torch(out, enc["Snake_0"]["alpha"], f"encoder.block.{n_enc + 1}.alpha")
+    _wnconv1d_to_torch(out, enc["WNConv1d_1"], f"encoder.block.{n_enc + 2}", legacy_wn)
+
+    q = p["quantizer"]
+    for i in range(cfg.n_codebooks):
+        qp = f"quantizer.quantizers.{i}"
+        gk, vk = _wn_keys(f"{qp}.in_proj", legacy_wn)
+        out[gk] = _f32(q["in_proj_g"][i]).reshape(-1, 1, 1)
+        out[vk] = _f32(q["in_proj_v"][i]).T[:, :, None]  # (in,dc) -> (dc,in,1)
+        out[f"{qp}.in_proj.bias"] = _f32(q["in_proj_b"][i])
+        out[f"{qp}.codebook.weight"] = _f32(q["codebook"][i])
+        gk, vk = _wn_keys(f"{qp}.out_proj", legacy_wn)
+        out[gk] = _f32(q["out_proj_g"][i]).reshape(-1, 1, 1)
+        out[vk] = _f32(q["out_proj_v"][i]).T[:, :, None]  # (dc,d) -> (d,dc,1)
+        out[f"{qp}.out_proj.bias"] = _f32(q["out_proj_b"][i])
+
+    dec = p["decoder"]
+    n_dec = len(cfg.decoder_rates)
+    _wnconv1d_to_torch(out, dec["WNConv1d_0"], "decoder.model.0", legacy_wn)
+    for i in range(n_dec):
+        b = f"decoder.model.{i + 1}.block"
+        db = dec[f"DecoderBlock_{i}"]
+        _snake_to_torch(out, db["Snake_0"]["alpha"], f"{b}.0.alpha")
+        _wnconvt1d_to_torch(out, db["WNConvTranspose1d_0"], f"{b}.1", legacy_wn)
+        for j in range(3):
+            _residual_unit_to_torch(
+                out, db[f"ResidualUnit_{j}"], f"{b}.{j + 2}", legacy_wn
+            )
+    _snake_to_torch(out, dec["Snake_0"]["alpha"], f"decoder.model.{n_dec + 1}.alpha")
+    _wnconv1d_to_torch(out, dec["WNConv1d_1"], f"decoder.model.{n_dec + 2}", legacy_wn)
+    # contiguify: several entries are transpose VIEWS; serializers that dump
+    # the raw buffer (safetensors) would otherwise write them in the wrong
+    # element order
+    return {k: np.ascontiguousarray(v) for k, v in out.items()}

@@ -87,3 +87,63 @@ def conformer_params(sd: dict, prefix: str, depth: int) -> dict:
         f"block_{i}": conformer_block_params(sd, f"{prefix}.layers.{i}")
         for i in range(depth)
     }
+
+
+# ---------------------------------------------------------------------------
+# Reverse direction: flax -> reference torch state dict (export). Each
+# function is the exact inverse of its import counterpart above, so a
+# round-trip (torch -> flax -> torch) is bit-identical in f32.
+
+
+def _f32(x) -> np.ndarray:
+    return np.array(np.asarray(x), dtype=np.float32)
+
+
+def linear_to_torch(out: dict, p: dict, prefix: str, bias: bool = True) -> None:
+    out[f"{prefix}.weight"] = _f32(p["kernel"]).T
+    if bias:
+        out[f"{prefix}.bias"] = _f32(p["bias"])
+
+
+def layer_norm_to_torch(out: dict, p: dict, prefix: str) -> None:
+    out[f"{prefix}.weight"] = _f32(p["scale"])
+    out[f"{prefix}.bias"] = _f32(p["bias"])
+
+
+def _pointwise_to_torch(out: dict, p: dict, prefix: str) -> None:
+    """Dense kernel (in,out) -> k=1 Conv1d weight (out,in,1)."""
+    out[f"{prefix}.weight"] = _f32(p["kernel"]).T[:, :, None]
+    out[f"{prefix}.bias"] = _f32(p["bias"])
+
+
+def _feed_forward_to_torch(out: dict, p: dict, prefix: str) -> None:
+    linear_to_torch(out, p["Dense_0"], f"{prefix}.net.0")
+    linear_to_torch(out, p["Dense_1"], f"{prefix}.net.3")
+
+
+def conformer_block_to_torch(out: dict, p: dict, prefix: str) -> None:
+    """Inverse of ``conformer_block_params``."""
+    conv = f"{prefix}.conv.net"
+    layer_norm_to_torch(out, p["LayerNorm_0"], f"{prefix}.ff1.fn.norm")
+    layer_norm_to_torch(out, p["LayerNorm_1"], f"{prefix}.attn.norm")
+    layer_norm_to_torch(out, p["LayerNorm_2"], f"{prefix}.ff2.fn.norm")
+    _feed_forward_to_torch(out, p["ff1"], f"{prefix}.ff1.fn.fn")
+    _feed_forward_to_torch(out, p["ff2"], f"{prefix}.ff2.fn.fn")
+    linear_to_torch(out, p["attn"]["to_q"], f"{prefix}.attn.fn.to_q", bias=False)
+    linear_to_torch(out, p["attn"]["to_kv"], f"{prefix}.attn.fn.to_kv", bias=False)
+    linear_to_torch(out, p["attn"]["to_out"], f"{prefix}.attn.fn.to_out")
+    layer_norm_to_torch(out, p["conv"]["LayerNorm_0"], f"{conv}.0")
+    _pointwise_to_torch(out, p["conv"]["pw_in"], f"{conv}.2")
+    # depthwise (k,1,C) -> (C,1,k)
+    out[f"{conv}.4.conv.weight"] = np.transpose(_f32(p["conv"]["dw_kernel"]), (2, 1, 0))
+    out[f"{conv}.4.conv.bias"] = _f32(p["conv"]["dw_bias"])
+    # ChanLayerNorm weight is (1, C, 1) in the reference (conformer.py:93)
+    out[f"{conv}.6.weight"] = _f32(p["conv"]["ChanLayerNorm_0"]["weight"]).reshape(1, -1, 1)
+    _pointwise_to_torch(out, p["conv"]["pw_out"], f"{conv}.7")
+    layer_norm_to_torch(out, p["post_norm"], f"{prefix}.post_norm")
+
+
+def conformer_to_torch(out: dict, params: dict, prefix: str, depth: int) -> None:
+    """Our ``block_{i}`` tree -> reference ``Conformer.layers.{i}`` keys."""
+    for i in range(depth):
+        conformer_block_to_torch(out, params[f"block_{i}"], f"{prefix}.layers.{i}")

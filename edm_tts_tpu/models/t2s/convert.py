@@ -33,3 +33,45 @@ def from_torch_state_dict(cfg: T2SConfig, sd: dict) -> dict:
         "length_pred_head": linear(sd, "length_pred_head"),
     }
     return {"params": p}
+
+
+def to_torch_state_dict(cfg: T2SConfig, variables: dict) -> dict:
+    """Flax t2s variables -> reference ``TextToSemanticWLen`` state dict.
+
+    Exact inverse of ``from_torch_state_dict``; also synthesizes the
+    reference's registered token-id buffers (text/speech/sep/pad/mask and the
+    ``false`` scratch buffer, modeling_text_to_semantic.py:41-48) so a
+    strict ``load_state_dict`` succeeds.
+    """
+    import numpy as np
+
+    from edm_tts_tpu.models.conformer.convert import (
+        conformer_to_torch,
+        layer_norm_to_torch,
+        linear_to_torch,
+    )
+    from edm_tts_tpu.models.t2s.model import SPECIAL_TOKENS
+
+    p = variables["params"]
+    out: dict = {
+        "input_embedding.weight": np.array(
+            np.asarray(p["input_embedding"]["embedding"]), dtype=np.float32
+        ),
+        "length_token": np.array(np.asarray(p["length_token"]), dtype=np.float32),
+        "text_token": np.array([SPECIAL_TOKENS["text"]], dtype=np.int64),
+        "speech_token": np.array([SPECIAL_TOKENS["speech"]], dtype=np.int64),
+        "sep_token": np.array([SPECIAL_TOKENS["sep"]], dtype=np.int64),
+        "pad_token": np.array([SPECIAL_TOKENS["pad"]], dtype=np.int64),
+        "mask_token": np.array([SPECIAL_TOKENS["mask"]], dtype=np.int64),
+        "false": np.array([False]),
+    }
+    conformer_to_torch(out, p["conformer"], "conformer", cfg.main_encoder_num_layers)
+    conformer_to_torch(
+        out, p["length_predictor"], "length_predictor", cfg.length_predictor_num_layers
+    )
+    linear_to_torch(out, p["pred_dense"], "pred_transform.0")
+    layer_norm_to_torch(out, p["pred_norm"], "pred_transform.2")
+    linear_to_torch(out, p["pred_head"], "pred_head")
+    linear_to_torch(out, p["length_pred_head"], "length_pred_head")
+    # contiguify transpose views for raw-buffer serializers (safetensors)
+    return {k: np.ascontiguousarray(v) for k, v in out.items()}
