@@ -206,6 +206,59 @@ def discriminator_from_torch_state_dict(cfg, sd: dict) -> dict:
     return {"params": p}
 
 
+def discriminator_to_torch_state_dict(
+    cfg, variables: dict, legacy_wn: bool = False
+) -> dict:
+    """Flax Discriminator tree -> reference ``DACDiscriminator`` state dict.
+
+    Exact inverse of ``discriminator_from_torch_state_dict`` (bit-exact
+    round trip). Note: when the real torchaudio is present, the reference
+    MRD registers persistent ``window`` buffers from its Spectrogram
+    transforms — those are deterministic hann windows, not weights; load
+    with ``strict=False`` in that case (they re-initialize identically).
+    """
+    p = variables["params"]
+    out: dict = {}
+
+    def conv2d(src: dict, prefix: str) -> None:
+        gk, vk = _wn_keys(prefix, legacy_wn)
+        out[gk] = _f32(src["g"]).reshape(-1, 1, 1, 1)
+        # NHWC (kh,kw,in,out) -> (out,in,kh,kw)
+        out[vk] = np.transpose(_f32(src["v"]), (3, 2, 0, 1))
+        out[f"{prefix}.bias"] = _f32(src["b"])
+
+    def conv1d(src: dict, prefix: str) -> None:
+        gk, vk = _wn_keys(prefix, legacy_wn)
+        out[gk] = _f32(src["g"]).reshape(-1, 1, 1)
+        out[vk] = np.transpose(_f32(src["v"]), (2, 1, 0))  # (k,in/g,out)
+        out[f"{prefix}.bias"] = _f32(src["b"])
+
+    di = 0
+    for period in cfg.periods:
+        base = f"discriminators.{di}"
+        mp = p[f"mpd_{period}"]
+        for j in range(5):
+            conv2d(mp[f"WNConv2d_{j}"], f"{base}.convs.{j}.0")
+        conv2d(mp["WNConv2d_5"], f"{base}.conv_post")
+        di += 1
+    for rate in cfg.rates:
+        base = f"discriminators.{di}"
+        ms = p[f"msd_{rate}"]
+        for j in range(6):
+            conv1d(ms[f"WNConv1dDisc_{j}"], f"{base}.convs.{j}.0")
+        conv1d(ms["WNConv1dDisc_6"], f"{base}.conv_post")
+        di += 1
+    for fft in cfg.fft_sizes:
+        base = f"discriminators.{di}"
+        mr = p[f"mrd_{fft}"]
+        for bi in range(len(cfg.bands)):
+            for li in range(5):
+                conv2d(mr[f"band{bi}_conv{li}"], f"{base}.band_convs.{bi}.{li}.0")
+        conv2d(mr["conv_post"], f"{base}.conv_post")
+        di += 1
+    return {k: np.ascontiguousarray(v) for k, v in out.items()}
+
+
 def from_torch_state_dict(cfg: CodecConfig, sd: dict) -> dict:
     """Reference ``DAC`` state dict (tensors or ndarrays) -> flax variables."""
     n_enc = len(cfg.encoder_rates)

@@ -39,6 +39,47 @@ def make_mesh(
     return Mesh(dev_array, (DATA_AXIS, FSDP_AXIS))
 
 
+def make_hybrid_mesh(
+    n_slices: int, n_fsdp: int = 1, devices=None
+) -> Mesh:
+    """(data, fsdp) mesh laid out for a multi-slice pod (ICI within a slice,
+    DCN across slices).
+
+    The fsdp axis — whose all-gather/reduce-scatter collectives are
+    latency-critical (they sit on the forward/backward critical path) — is
+    kept entirely within a slice so it rides ICI; the data axis spans
+    slices, so the once-per-step gradient all-reduce is the only collective
+    crossing DCN, and XLA lowers it hierarchically (reduce inside each
+    slice over ICI, then across slices over DCN) given the device order
+    from ``mesh_utils.create_hybrid_device_mesh``.
+
+    Falls back to a plain slice-major reshape when devices carry no slice
+    topology (CPU/virtual meshes in tests), preserving the same axis
+    semantics. The reference has no multi-node story at all (single node,
+    8 procs — configs/acc_cfg.yaml); this is the pod-scale extension.
+    """
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    assert n % n_slices == 0, f"{n} devices not divisible by {n_slices} slices"
+    per_slice = n // n_slices
+    assert per_slice % n_fsdp == 0, (
+        f"fsdp={n_fsdp} must divide the {per_slice} devices of one slice"
+    )
+    data_per_slice = per_slice // n_fsdp
+    if n_slices > 1 and getattr(devices[0], "slice_index", None) is not None:
+        dev_array = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(data_per_slice, n_fsdp),
+            dcn_mesh_shape=(n_slices, 1),
+            devices=devices,
+        )
+    else:
+        # virtual/CPU fallback: slice-major order so axis semantics match
+        dev_array = np.asarray(devices).reshape(
+            n_slices * data_per_slice, n_fsdp
+        )
+    return Mesh(dev_array, (DATA_AXIS, FSDP_AXIS))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) dim over the data axis, replicate the rest."""
     return NamedSharding(mesh, P(DATA_AXIS))

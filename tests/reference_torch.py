@@ -122,6 +122,25 @@ def install_reference_path() -> None:
                 ).transpose(-1, -2)
 
         tfm.MelSpectrogram = MelSpectrogram
+
+        class Resample(torch.nn.Module):
+            """Stand-in for torchaudio.transforms.Resample at equal rates —
+            torchaudio's own fast path returns the input unchanged when
+            orig_freq == new_freq. The reference MSD instantiates it with
+            rate=1 (discriminators.py:136), the only rate the default GAN
+            recipe and the parity tests use."""
+
+            def __init__(self, orig_freq=16000, new_freq=16000, **kw):
+                super().__init__()
+                if int(orig_freq) != int(new_freq):
+                    raise NotImplementedError(
+                        "reference_torch stub: only equal-rate Resample"
+                    )
+
+            def forward(self, x):
+                return x
+
+        tfm.Resample = Resample
     if "wandb" not in sys.modules:
         # gan_trainer.py imports wandb at module level; only wandb.Audio is
         # referenced (sample logging, :259) and never on the paths the

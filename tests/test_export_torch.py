@@ -122,6 +122,53 @@ def test_codec_export_legacy_weight_norm_names():
     )
 
 
+def test_discriminator_export_round_trip_and_strict_load():
+    from edm_tts.models.dac.discriminators import (
+        DACDiscriminator,
+        DACDiscriminatorConfig,
+    )
+    from edm_tts_tpu.models.codec.convert import (
+        discriminator_from_torch_state_dict,
+        discriminator_to_torch_state_dict,
+    )
+    from edm_tts_tpu.models.codec.discriminator import DiscriminatorConfig
+
+    torch.manual_seed(7)
+    # all three families: MPD (periods), MSD (rates), MRD (ffts)
+    ref = DACDiscriminator(
+        DACDiscriminatorConfig(
+            periods=[2, 3], rates=[1], fft_sizes=[512], sample_rate=16000
+        )
+    ).eval()
+    cfg = DiscriminatorConfig(
+        sample_rate=16000, periods=(2, 3), rates=(1,), fft_sizes=(512,)
+    )
+    variables = discriminator_from_torch_state_dict(cfg, ref.state_dict())
+    exported = discriminator_to_torch_state_dict(cfg, variables)
+    _assert_state_dicts_equal(exported, ref.state_dict())
+
+    torch.manual_seed(123)
+    fresh = DACDiscriminator(
+        DACDiscriminatorConfig(
+            periods=[2, 3], rates=[1], fft_sizes=[512], sample_rate=16000
+        )
+    ).eval()
+    fresh.load_state_dict(
+        {k: torch.from_numpy(np.array(v)) for k, v in exported.items()},
+        strict=True,
+    )
+    x = torch.from_numpy(
+        (0.3 * np.random.default_rng(1).standard_normal((1, 1, 4000))).astype(
+            np.float32
+        )
+    )
+    with torch.no_grad():
+        a = ref(x)
+        b = fresh(x)
+    for fa, fb in zip(a, b):
+        np.testing.assert_array_equal(fb[-1].numpy(), fa[-1].numpy())
+
+
 def test_t2s_export_round_trip_and_strict_load():
     torch.manual_seed(4)
     kw = dict(

@@ -75,6 +75,33 @@ def test_dp_fsdp_single_device_agree():
         np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
 
 
+def test_hybrid_multislice_mesh_agrees():
+    """The pod-scale (multi-slice) mesh layout — fsdp within a slice, data
+    across slices (make_hybrid_mesh) — computes the same loss and updated
+    params as the single-device run: the device-order permutation changes
+    which links collectives ride, never the math. Exercised on the virtual
+    8-device CPU mesh as 2 slices x (2 data x 2 fsdp)."""
+    from edm_tts_tpu.parallel.mesh import make_hybrid_mesh
+
+    model = InjectionConformer(TINY)
+    ac = jax.random.randint(jax.random.PRNGKey(0), (4, 4, 16), 0, 16)
+    sem = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0, 16)
+    params = jax.jit(
+        lambda r: model.init(r, ac[:1, :, :8], sem[:1, :8], mask_rng=r,
+                             train=False)
+    )(jax.random.PRNGKey(2))
+
+    devices = jax.devices()
+    hybrid = make_hybrid_mesh(n_slices=2, n_fsdp=2, devices=devices[:8])
+    assert hybrid.shape == {"data": 4, "fsdp": 2}
+    loss_1, p_1 = _run_step(make_mesh(1, 1, devices=devices[:1]), params, ac, sem)
+    loss_h, p_h = _run_step(hybrid, params, ac, sem)
+    assert abs(loss_1 - loss_h) < 1e-5
+    for a, b in zip(jax.tree_util.tree_leaves(p_1),
+                    jax.tree_util.tree_leaves(p_h)):
+        np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+
 def test_train_step_deterministic():
     model = InjectionConformer(TINY)
     ac = jax.random.randint(jax.random.PRNGKey(3), (2, 4, 16), 0, 16)
