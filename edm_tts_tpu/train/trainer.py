@@ -55,6 +55,15 @@ class TrainingArguments:
     overwrite_output_dir: bool = False
     resume_from_checkpoint: str | None = None
     n_fsdp: int = 1
+    # Gradient accumulation: split each batch into this many microbatches and
+    # lax.scan the fwd+bwd, summing mask-weighted grads. EXACT recipe math
+    # when loss_fn reports its masked-token count as metrics["loss_weight"]:
+    # sum_i(w_i * g_i) / sum_i(w_i) IS the full-batch masked-mean gradient.
+    # Not the HF gradient_accumulation_steps (which trades steps for batch);
+    # here it trades live activations for weight re-reads so the 464M s2a can
+    # drop remat entirely: 855 -> 627 ms/step at B32x768 with micro_batches=4
+    # (scripts/s2a_microbatch_crux.py ladder, benchmarks/README.md).
+    micro_batches: int = 1
     # remote experiment trackers: "module.path:factory" specs (wandb analog,
     # reference report_to — see utils/logging.py Tracker)
     trackers: tuple[str, ...] = ()
@@ -122,20 +131,77 @@ class Trainer:
         self.metrics = MetricLogger(args.output_dir, trackers=args.trackers)
         self._batch_sharding = batch_sharding(self.mesh)
 
+        n_micro = max(1, args.micro_batches)
+
         def train_step(state: TrainState, batch, rng):
             def wrapped(params):
-                return self.loss_fn(params, batch, rng)
+                loss, metrics = self.loss_fn(params, batch, rng)
+                return loss, dict(metrics)
 
             (loss, metrics), grads = jax.value_and_grad(wrapped, has_aux=True)(
                 state.params
             )
+            metrics.pop("loss_weight", None)
             new_state = state.apply_gradients(grads=grads)
-            metrics = dict(metrics)
             metrics["loss"] = loss
             metrics["grad_norm"] = optax.global_norm(grads)
             return new_state, metrics
 
-        self._train_step = jax.jit(train_step, donate_argnums=(0,))
+        def accum_train_step(state: TrainState, batch, rng):
+            # (B, ...) -> (n_micro, B/n_micro, ...); the microbatch dim stays
+            # sharded over `data` via the constraint inside the scan body, so
+            # each microbatch still spans all data-parallel devices.
+            micro = jax.tree_util.tree_map(
+                lambda x: x.reshape((n_micro, x.shape[0] // n_micro) + x.shape[1:]),
+                batch,
+            )
+            rngs = jax.random.split(rng, n_micro)
+
+            def body(g_acc, inp):
+                mb, r = inp
+                mb = jax.tree_util.tree_map(
+                    lambda x: jax.lax.with_sharding_constraint(
+                        x, self._batch_sharding
+                    ),
+                    mb,
+                )
+
+                def wrapped(params):
+                    loss, metrics = self.loss_fn(params, mb, r)
+                    metrics = dict(metrics)
+                    w = jnp.asarray(
+                        metrics.pop("loss_weight", 1.0), jnp.float32
+                    )
+                    metrics["loss"] = loss
+                    # d(loss*w)/dp = w * g (w is data, not params), so the
+                    # grad of the scaled loss IS the weighted-sum term.
+                    return loss * w, (metrics, w)
+
+                (_, (metrics, w)), g = jax.value_and_grad(
+                    wrapped, has_aux=True
+                )(state.params)
+                g_acc = jax.tree_util.tree_map(
+                    lambda a, b: a + b.astype(a.dtype), g_acc, g
+                )
+                return g_acc, (metrics, w)
+
+            g0 = jax.tree_util.tree_map(
+                lambda x: jnp.zeros(x.shape, jnp.float32), state.params
+            )
+            g_sum, (stacked, w) = jax.lax.scan(body, g0, (micro, rngs))
+            w_sum = jnp.sum(w)
+            grads = jax.tree_util.tree_map(lambda x: x / w_sum, g_sum)
+            new_state = state.apply_gradients(grads=grads)
+            metrics = {
+                k: jnp.sum(w * v.astype(jnp.float32)) / w_sum
+                for k, v in stacked.items()
+            }
+            metrics["grad_norm"] = optax.global_norm(grads)
+            return new_state, metrics
+
+        self._train_step = jax.jit(
+            accum_train_step if n_micro > 1 else train_step, donate_argnums=(0,)
+        )
 
     # -- checkpointing -------------------------------------------------------
     def save(self, step: int, extra_meta: dict | None = None):

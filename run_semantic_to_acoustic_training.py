@@ -102,6 +102,7 @@ def main():
         resume_from_checkpoint=raw.get("resume_from_checkpoint"),
         overwrite_output_dir=raw.get("overwrite_output_dir", False),
         n_fsdp=raw.get("n_fsdp", 1),
+        micro_batches=raw.get("micro_batches", 1),
     )
 
     import jax.numpy as _jnp
@@ -147,7 +148,9 @@ def main():
             train=True,
             rngs={"dropout": drop_rng},
         )
-        return out["loss"], {}
+        # loss_weight = masked-token count makes micro-batched gradient
+        # accumulation EXACT for the masked-mean CE (Trainer docstring).
+        return out["loss"], {"loss_weight": jnp.sum(out["mask"])}
 
     batch = args.per_device_train_batch_size * jax.device_count()
     train_iter = code_batch_iterator(
