@@ -1,6 +1,7 @@
 from edm_tts_tpu.parallel.mesh import (
     DATA_AXIS,
     FSDP_AXIS,
+    MODEL_AXIS,
     batch_sharding,
     fsdp_sharding_for,
     make_mesh,

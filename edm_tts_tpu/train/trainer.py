@@ -64,6 +64,9 @@ class TrainingArguments:
     # drop remat entirely: 855 -> 627 ms/step at B32x768 with micro_batches=4
     # (scripts/s2a_microbatch_crux.py ladder, benchmarks/README.md).
     micro_batches: int = 1
+    # tensor-parallel axis size (megatron-sharded conformer matmuls,
+    # parallel/mesh.py::_tp_spec_for); 1 = off
+    n_model: int = 1
     # remote experiment trackers: "module.path:factory" specs (wandb analog,
     # reference report_to — see utils/logging.py Tracker)
     trackers: tuple[str, ...] = ()
@@ -103,7 +106,9 @@ class Trainer:
         mesh=None,
     ):
         self.args = args
-        self.mesh = mesh if mesh is not None else make_mesh(n_fsdp=args.n_fsdp)
+        self.mesh = mesh if mesh is not None else make_mesh(
+            n_fsdp=args.n_fsdp, n_model=args.n_model
+        )
         schedule = warmup_cosine_schedule(
             args.learning_rate, args.warmup_steps, args.max_steps
         )

@@ -78,7 +78,7 @@ def test_freeze_subtree_mask_blocks_updates():
 
 def test_fsdp_sharding_rule():
     mesh = make_mesh(n_fsdp=2)
-    assert mesh.shape == {"data": 4, "fsdp": 2}
+    assert mesh.shape == {"data": 4, "fsdp": 2, "model": 1}
     big = jnp.zeros((512, 512))
     s = fsdp_sharding_for(mesh, big, min_size=16)
     assert FSDP_AXIS in jax.tree_util.tree_leaves(s.spec) or s.spec != ()
