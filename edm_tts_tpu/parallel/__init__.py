@@ -9,6 +9,12 @@ from edm_tts_tpu.parallel.mesh import (
     replicated,
     shard_pytree,
 )
+from edm_tts_tpu.parallel.pipeline import (
+    PIPE_AXIS,
+    make_pipe_mesh,
+    pipeline_apply,
+    stack_stage_params,
+)
 from edm_tts_tpu.parallel.checkpoint import (
     CheckpointManager,
     detect_last_checkpoint,

@@ -1,0 +1,152 @@
+"""Pipeline parallelism: a GPipe-style executor over a ``pipe`` mesh axis.
+
+The reference has no pipeline story at all (single-node 8-process DDP,
+/root/reference/configs/acc_cfg.yaml); its largest model (the 464M s2a
+injection conformer) fits one device. This module is the TPU pod-scale
+extension for when depth outgrows a chip: split a stack of identical
+blocks into S stages, one per device along a ``pipe`` mesh axis, and
+stream M microbatches through the stages with ``lax.ppermute`` hops —
+the classical GPipe schedule with an (S-1)/(M+S-1) bubble.
+
+TPU-first design choices:
+- ``shard_map`` over the ``pipe`` axis: every device runs the SAME traced
+  program (no per-stage Python), so XLA compiles one SPMD executable and
+  the inter-stage hop is a single ICI ``CollectivePermute``.
+- The tick loop is a ``lax.scan`` (static trip count M+S-1), so the whole
+  pipeline — all stages, all microbatches — is ONE compiled program, and
+  ``jax.grad`` through it runs the reverse schedule automatically
+  (the transpose of ppermute is the reverse ppermute).
+- Stage weights live as a stacked (S, ...) pytree sharded on the leading
+  dim: each device holds exactly its stage's slice in HBM.
+
+Composability: the ``pipe`` axis is independent of the (data, fsdp, model)
+axes in ``parallel/mesh.py`` — a 4-D mesh runs dp x ZeRO x tp x pp; the
+numerics tests pin pp against the sequential stack.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+PIPE_AXIS = "pipe"
+
+Pytree = Any
+
+
+def make_pipe_mesh(n_pipe: int, n_data: int = 1, devices=None) -> Mesh:
+    """(pipe,) or (pipe, data) mesh. ``pipe`` is the outer axis: one stage's
+    devices (its data-parallel replicas) sit on adjacent ICI links, and the
+    per-tick activation hop crosses one link only."""
+    devices = devices if devices is not None else jax.devices()
+    n = n_pipe * n_data
+    assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    if n_data == 1:
+        return Mesh(np.asarray(devices[:n]), (PIPE_AXIS,))
+    return Mesh(
+        np.asarray(devices[:n]).reshape(n_pipe, n_data), (PIPE_AXIS, "data")
+    )
+
+
+def stack_stage_params(per_stage: list[Pytree]) -> Pytree:
+    """Stack S structurally-identical per-stage param trees into one tree
+    with a leading (S, ...) stage dim — the layout ``pipeline_apply``
+    shards over the ``pipe`` axis."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per_stage)
+
+
+def pipeline_apply(
+    stage_fn: Callable[[Pytree, Pytree], Pytree],
+    stacked_params: Pytree,
+    micro_inputs: Pytree,
+    mesh: Mesh,
+    *,
+    micro_spec: P = P(),
+    check_rep: bool = False,
+) -> Pytree:
+    """Run M microbatches through S pipeline stages.
+
+    stage_fn(stage_params, x) -> y: applies ONE stage (e.g. depth/S
+    conformer blocks). Its output must have the same pytree structure and
+    shapes as its input (homogeneous stack) — pass-through fields (pad
+    masks, etc.) are fine, they just ride along the pipe hops.
+
+    stacked_params: pytree with leading stage dim S on every leaf
+    (see ``stack_stage_params``); sharded over ``pipe`` so each device
+    keeps only its stage.
+
+    micro_inputs: pytree with leading microbatch dim M on every leaf.
+    Replicated to all stages (only stage 0 reads it); at the scales where
+    pp matters, inputs are token ids — bytes are negligible vs weights.
+
+    micro_spec: PartitionSpec for the microbatch tree over the mesh's OTHER
+    axes (dp x pp composition: e.g. P(None, "data") on a (pipe, data) mesh
+    shards the per-microbatch batch dim over data replicas of every stage).
+    Must not shard dim 0 (the microbatch dim — that is the pipe's time axis)
+    and must not mention the pipe axis. Outputs use the same spec.
+
+    Returns the stage-(S-1) outputs, (M, ...) per leaf, replicated across
+    ``pipe`` (and sharded per ``micro_spec`` over the other axes).
+    """
+    assert len(micro_spec) == 0 or micro_spec[0] is None, (
+        "micro_spec must leave the leading microbatch dim unsharded"
+    )
+    assert PIPE_AXIS not in jax.tree_util.tree_leaves(tuple(micro_spec)), (
+        "micro_spec must not use the pipe axis"
+    )
+    n_pipe = mesh.shape[PIPE_AXIS]
+    n_micro = jax.tree_util.tree_leaves(micro_inputs)[0].shape[0]
+    assert n_micro >= 1
+    ticks = n_micro + n_pipe - 1
+
+    def run(params, xs):
+        # params: this device's (1, ...) stage slice; drop the stage dim.
+        params = jax.tree_util.tree_map(lambda p: p[0], params)
+        stage = jax.lax.axis_index(PIPE_AXIS)
+        perm = [(i, (i + 1) % n_pipe) for i in range(n_pipe)]
+        zero = jax.tree_util.tree_map(
+            lambda x: jnp.zeros(x.shape[1:], x.dtype), xs
+        )
+
+        def tick(buf, t):
+            # stage 0 pulls microbatch t from the feed (clipped: after M
+            # ticks it re-reads the last one, whose output is discarded);
+            # later stages consume the activation ppermuted in last tick.
+            feed = jax.tree_util.tree_map(
+                lambda x: jax.lax.dynamic_index_in_dim(
+                    x, jnp.minimum(t, n_micro - 1), 0, keepdims=False
+                ),
+                xs,
+            )
+            x_in = jax.tree_util.tree_map(
+                lambda f, b: jnp.where(stage == 0, f, b), feed, buf
+            )
+            y = stage_fn(params, x_in)
+            buf_next = jax.lax.ppermute(y, PIPE_AXIS, perm)
+            return buf_next, y
+
+        _, ys = jax.lax.scan(tick, zero, jnp.arange(ticks))
+        # only the last stage's outputs are the model's outputs; mask and
+        # psum to replicate them to every stage (one all-reduce at the end).
+        is_last = (stage == n_pipe - 1).astype(jnp.float32)
+        ys = jax.tree_util.tree_map(
+            lambda y: jax.lax.psum(
+                (y.astype(jnp.float32) * is_last), PIPE_AXIS
+            ).astype(y.dtype),
+            ys,
+        )
+        # tick t delivers microbatch t-(S-1) out of the last stage
+        return jax.tree_util.tree_map(lambda y: y[n_pipe - 1 :], ys)
+
+    return shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(P(PIPE_AXIS), micro_spec),
+        out_specs=micro_spec,
+        check_rep=check_rep,
+    )(stacked_params, micro_inputs)
