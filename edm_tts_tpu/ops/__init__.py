@@ -17,6 +17,7 @@ from edm_tts_tpu.ops.masking import (
     sampling_mask_ratios,
 )
 from edm_tts_tpu.ops.attention import mha, mha_reference
+from edm_tts_tpu.ops.ring_attention import make_seq_mesh, ring_mha
 from edm_tts_tpu.ops.embedding import embed_take, masked_cross_entropy
 
 # heavier ops are intentionally NOT imported eagerly (keep import light):
