@@ -1,0 +1,2 @@
+from edm_tts_tpu.serving.batcher import DynamicBatcher, Request
+from edm_tts_tpu.serving.engine import TTSEngine

@@ -1,0 +1,134 @@
+"""Dynamic request batching for TPU serving.
+
+TPU throughput comes from batch: one fused batch-16 dispatch synthesizes
+~287 audio-s/s/chip while batch-1 dispatches pay the whole pipeline latency
+per utterance (benchmarks/README.md). This batcher turns independent
+requests into batched engine calls: a worker thread collects requests for
+up to ``max_wait_ms`` (or until ``max_batch``), groups them by speaker
+(one speaker prompt per engine call), and resolves each request's Future
+with its own trimmed waveform.
+
+Deliberately simple and dependency-free (threading + futures): the single
+worker serializes device access — JAX dispatch is not thread-safe from
+multiple Python threads, and one TPU chip runs one program at a time
+anyway. Backpressure = bounded queue; ``submit`` raises when full.
+
+The reference has no serving layer at all (hand-run CLI,
+/root/reference/inference.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Any, Callable
+
+
+@dataclasses.dataclass
+class Request:
+    text: str
+    speaker: str
+    seed: int = 0
+    gt_length: int | None = None
+
+
+class DynamicBatcher:
+    def __init__(
+        self,
+        synth_fn: Callable[..., list[Any]],
+        *,
+        max_batch: int = 16,
+        max_wait_ms: float = 25.0,
+        max_queue: int = 256,
+    ):
+        """synth_fn(texts, speaker, seed=..., gt_lengths=...) -> list of
+        waveforms, one per text — e.g. ``TTSEngine.synthesize``."""
+        self._synth = synth_fn
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1e3
+        self._q: queue.Queue = queue.Queue(maxsize=max_queue)
+        self._closed = threading.Event()
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._worker.start()
+
+    # -- client side ------------------------------------------------------
+    def submit(self, req: Request) -> Future:
+        """Enqueue one request; the Future resolves to its waveform.
+        Raises queue.Full when the server is saturated (backpressure)."""
+        if self._closed.is_set():
+            raise RuntimeError("batcher is closed")
+        fut: Future = Future()
+        self._q.put_nowait((req, fut))
+        return fut
+
+    def close(self, drain: bool = True) -> None:
+        """Stop accepting requests; optionally wait for in-flight work."""
+        self._closed.set()
+        if drain:
+            self._q.join()
+        # wake the worker if it is blocked on an empty queue
+        self._q.put((None, None))
+        self._worker.join(timeout=10)
+
+    # -- worker side ------------------------------------------------------
+    def _collect(self) -> list[tuple[Request, Future]]:
+        """Block for the first request, then gather more until the batch
+        window closes or the batch is full."""
+        first = self._q.get()
+        if first[0] is None:
+            self._q.task_done()
+            return []
+        batch = [first]
+        deadline = time.monotonic() + self.max_wait
+        while len(batch) < self.max_batch:
+            timeout = deadline - time.monotonic()
+            if timeout <= 0:
+                break
+            try:
+                item = self._q.get(timeout=timeout)
+            except queue.Empty:
+                break
+            if item[0] is None:
+                # re-post the shutdown sentinel so the NEXT _collect (which
+                # would otherwise block forever on the drained queue) sees it
+                self._q.task_done()
+                self._q.put((None, None))
+                break
+            batch.append(item)
+        return batch
+
+    def _loop(self) -> None:
+        while True:
+            batch = self._collect()
+            if not batch:
+                if self._closed.is_set():
+                    return
+                continue
+            # one engine call per (speaker, seed) group: a batch shares one
+            # prompt and one PRNG key
+            groups: dict[tuple[str, int], list[tuple[Request, Future]]] = {}
+            for req, fut in batch:
+                groups.setdefault((req.speaker, req.seed), []).append(
+                    (req, fut)
+                )
+            for (speaker, seed), items in groups.items():
+                reqs = [r for r, _ in items]
+                futs = [f for _, f in items]
+                gt = [r.gt_length for r in reqs]
+                kwargs = {"seed": seed}
+                if all(g is not None for g in gt):
+                    kwargs["gt_lengths"] = gt
+                try:
+                    wavs = self._synth(
+                        [r.text for r in reqs], speaker, **kwargs
+                    )
+                    for fut, wav in zip(futs, wavs):
+                        fut.set_result(wav)
+                except Exception as e:  # noqa: BLE001 — fail the requests, not the server
+                    for fut in futs:
+                        fut.set_exception(e)
+            for _ in batch:
+                self._q.task_done()

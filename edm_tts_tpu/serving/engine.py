@@ -1,0 +1,171 @@
+"""Production TTS engine: the staged zero-shot pipeline behind a
+bucket-everything, compile-once serving surface.
+
+The reference deploys through a hand-run script that synthesizes one
+exact-size utterance at a time (/root/reference/inference.py:36-56) — every
+new text length is a new shape. This engine makes the pipeline servable on
+TPU, where jit compiles per shape: text length, speech-canvas length and
+batch size are all rounded up to fixed buckets and the padding is masked
+(``semantic_valid`` in the s2a sampler, ``valid_frames`` in the decoder, row
+masks for batch pads), so a steady-state server touches only a small, warm
+set of compiled programs. Correctness of padded canvases vs exact-size ones
+is pinned by tests/test_bucketed_inference.py; batch-pad row independence by
+tests/test_serving.py.
+
+Speaker prompts are tokenized once at registration (the expensive HuBERT +
+codec encode) and reused across requests — the zero-shot analog of a KV
+cache.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from edm_tts_tpu.utils.bucketing import bucket_batch, bucket_length
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class SpeakerPrompt:
+    acoustic_codes: Array  # (1, Q, Tp)
+    semantic_codes: Array  # (1, Tp)
+
+
+class TTSEngine:
+    def __init__(
+        self,
+        codec_model: str,
+        t2s_model: str,
+        s2a_model: str,
+        hubert_model: str,
+        *,
+        dtype=jnp.bfloat16,
+        pred_iters: int = 16,
+        s2a_steps: int = 8,
+        temperature: float = 1.0,
+        max_speech_len: int = 1250,
+        text_bucket: int = 32,
+        length_bucket: int = 64,
+        batch_buckets: tuple[int, ...] = (1, 2, 4, 8, 16),
+    ):
+        from edm_tts_tpu.utils.hub import (
+            build_audio_tokenizer,
+            load_s2a,
+            load_t2s,
+        )
+
+        self.tokenizer, self._codec_params, self._sem_params = (
+            build_audio_tokenizer(codec_model, hubert_model, dtype=dtype)
+        )
+        self._s2a, self._s2a_params = load_s2a(s2a_model, dtype=dtype)
+        self._t2s, self._t2s_params = load_t2s(t2s_model, dtype=dtype)
+        self.pred_iters = pred_iters
+        self.s2a_steps = s2a_steps
+        self.temperature = temperature
+        self.max_speech_len = max_speech_len
+        self.text_bucket = text_bucket
+        self.length_bucket = length_bucket
+        self.batch_buckets = tuple(sorted(batch_buckets))
+        self._decode = jax.jit(
+            lambda p, c, vf: self.tokenizer.codec.apply(
+                p, c, vf, method="decode_from_codes"
+            )
+        )
+        self._speakers: dict[str, SpeakerPrompt] = {}
+
+    # -- speakers -------------------------------------------------------
+    @property
+    def sample_rate(self) -> int:
+        return self.tokenizer.sample_rate
+
+    def register_speaker(self, name: str, wav: np.ndarray, sr: int) -> None:
+        """Tokenize a speaker prompt once; reuse for every request."""
+        from edm_tts_tpu.ops.resample import resample_numpy
+
+        if sr != self.tokenizer.sample_rate:
+            wav = resample_numpy(wav, sr, self.tokenizer.sample_rate)
+        codes = self.tokenizer.compute_codes(
+            self._codec_params, self._sem_params, np.asarray(wav)[None]
+        )
+        self._speakers[name] = SpeakerPrompt(
+            codes["acoustic_codes"], codes["semantic_codes"]
+        )
+
+    def speakers(self) -> tuple[str, ...]:
+        return tuple(self._speakers)
+
+    # -- synthesis ------------------------------------------------------
+    def synthesize(
+        self,
+        texts: list[str],
+        speaker: str,
+        *,
+        seed: int = 0,
+        gt_lengths: list[int] | None = None,
+    ) -> list[np.ndarray]:
+        """Synthesize a batch of texts with one registered speaker.
+
+        Returns one float32 waveform (n_samples,) per text, trimmed to its
+        own predicted length. The batch is padded up to the next batch
+        bucket by repeating row 0; padded rows are computed and discarded
+        (batch elements are independent through every stage)."""
+        from edm_tts_tpu.models.s2a import s2a_sample
+        from edm_tts_tpu.models.t2s import t2s_sample
+
+        prompt = self._speakers[speaker]
+        b_real = len(texts)
+        assert b_real >= 1
+        b = bucket_batch(b_real, self.batch_buckets)
+
+        byte_seqs = [[c + 5 for c in t.encode("utf-8")] for t in texts]
+        byte_seqs += [byte_seqs[0]] * (b - b_real)
+        lt = bucket_length(max(len(s) for s in byte_seqs), self.text_bucket)
+        text_tokens = jnp.asarray(
+            [s + [0] * (lt - len(s)) for s in byte_seqs], jnp.int32
+        )
+        text_lengths = jnp.asarray([len(s) for s in byte_seqs], jnp.int32)
+
+        gt = None
+        if gt_lengths is not None:
+            gt = jnp.asarray(
+                list(gt_lengths) + [gt_lengths[0]] * (b - b_real), jnp.int32
+            )
+
+        rng = jax.random.PRNGKey(seed)
+        k_t2s, k_s2a = jax.random.split(rng)
+
+        t2s_out = t2s_sample(
+            self._t2s, self._t2s_params, text_tokens, text_lengths, k_t2s,
+            pred_iters=self.pred_iters, temperature=self.temperature,
+            max_speech_len=self.max_speech_len, gt_length=gt,
+        )
+        lengths = np.asarray(t2s_out["lengths"])
+        n_max = bucket_length(
+            int(lengths.max()), self.length_bucket, self.max_speech_len
+        )
+        semantic_tokens = t2s_out["semantic_tokens"][:, :n_max]
+        lengths_dev = jnp.asarray(lengths, jnp.int32)
+        semantic_valid = jnp.arange(n_max)[None, :] < lengths_dev[:, None]
+
+        pa = prompt.acoustic_codes
+        ps = prompt.semantic_codes
+        acoustic_codes = s2a_sample(
+            self._s2a, self._s2a_params, semantic_tokens,
+            jnp.broadcast_to(pa, (b, *pa.shape[1:])),
+            jnp.broadcast_to(ps, (b, *ps.shape[1:])),
+            k_s2a, steps=self.s2a_steps, temperature=self.temperature,
+            semantic_valid=semantic_valid,
+        )
+        audio = np.asarray(
+            self._decode(self._codec_params, acoustic_codes, lengths_dev),
+            dtype=np.float32,
+        )
+        ds = self.tokenizer.downsample_factor
+        return [
+            audio[i, : int(lengths[i]) * ds, 0] for i in range(b_real)
+        ]

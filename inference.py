@@ -16,11 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def bucket_length(n: int, multiple: int, cap: int | None = None) -> int:
-    """Round ``n`` up to a multiple (cap at ``cap``) so nearby utterance
-    lengths share one compiled canvas."""
-    n = -(-max(n, 1) // multiple) * multiple
-    return min(n, cap) if cap else n
+from edm_tts_tpu.utils.bucketing import bucket_length  # re-export (CLI API)
 
 
 def main():

@@ -1,0 +1,218 @@
+"""Serving layer: TTSEngine (bucketed batch synthesis) + DynamicBatcher
+(request coalescing). Engine correctness hinges on batch-pad independence —
+a request's audio must not depend on which bucket its batch landed in —
+and the batcher must coalesce, group by speaker, propagate failures, and
+shut down cleanly.
+"""
+
+import queue
+import threading
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from edm_tts_tpu.serving import DynamicBatcher, Request, TTSEngine
+from edm_tts_tpu.utils.bucketing import bucket_batch, bucket_length
+
+
+# ---------------------------------------------------------------- bucketing
+def test_bucket_batch():
+    assert bucket_batch(1, (1, 2, 4, 8)) == 1
+    assert bucket_batch(3, (1, 2, 4, 8)) == 4
+    assert bucket_batch(8, (8, 4, 2, 1)) == 8  # order-insensitive
+    with pytest.raises(ValueError):
+        bucket_batch(9, (1, 2, 4, 8))
+
+
+# ---------------------------------------------------------------- batcher
+class _FakeSynth:
+    """Counts calls; returns per-text dummy 'waveforms'."""
+
+    def __init__(self, fail_speaker=None):
+        self.calls = []
+        self.fail_speaker = fail_speaker
+        self.block = threading.Event()
+        self.block.set()
+
+    def __call__(self, texts, speaker, *, seed=0, gt_lengths=None):
+        self.block.wait()
+        self.calls.append((tuple(texts), speaker, seed))
+        if speaker == self.fail_speaker:
+            raise RuntimeError("bad speaker")
+        return [f"{speaker}:{t}" for t in texts]
+
+
+def test_batcher_coalesces_and_groups():
+    synth = _FakeSynth()
+    synth.block.clear()  # hold the worker so all submits land in one window
+    b = DynamicBatcher(synth, max_batch=8, max_wait_ms=200)
+    futs = [
+        b.submit(Request("a", "spk1")),
+        b.submit(Request("b", "spk1")),
+        b.submit(Request("c", "spk2")),
+    ]
+    synth.block.set()
+    assert futs[0].result(10) == "spk1:a"
+    assert futs[1].result(10) == "spk1:b"
+    assert futs[2].result(10) == "spk2:c"
+    b.close()
+    # 2 calls: spk1 requests coalesced into one batch, spk2 separate
+    speakers = sorted(c[1] for c in synth.calls)
+    assert speakers == ["spk1", "spk2"]
+    spk1_call = next(c for c in synth.calls if c[1] == "spk1")
+    assert spk1_call[0] == ("a", "b")
+
+
+def test_batcher_respects_max_batch():
+    synth = _FakeSynth()
+    synth.block.clear()
+    b = DynamicBatcher(synth, max_batch=2, max_wait_ms=200)
+    futs = [b.submit(Request(str(i), "s")) for i in range(5)]
+    synth.block.set()
+    for f in futs:
+        f.result(10)
+    b.close()
+    assert all(len(c[0]) <= 2 for c in synth.calls)
+    assert sum(len(c[0]) for c in synth.calls) == 5
+
+
+def test_batcher_failure_isolated_to_requests():
+    synth = _FakeSynth(fail_speaker="bad")
+    b = DynamicBatcher(synth, max_batch=4, max_wait_ms=50)
+    ok = b.submit(Request("x", "good"))
+    bad = b.submit(Request("y", "bad"))
+    assert ok.result(10) == "good:x"
+    with pytest.raises(RuntimeError, match="bad speaker"):
+        bad.result(10)
+    # the server survives: new requests still work
+    assert b.submit(Request("z", "good")).result(10) == "good:z"
+    b.close()
+
+
+def test_batcher_close_rejects_and_backpressure():
+    synth = _FakeSynth()
+    b = DynamicBatcher(synth, max_batch=4, max_wait_ms=10, max_queue=2)
+    b.close()
+    with pytest.raises(RuntimeError):
+        b.submit(Request("x", "s"))
+
+    synth2 = _FakeSynth()
+    synth2.block.clear()
+    b2 = DynamicBatcher(synth2, max_batch=1, max_wait_ms=10, max_queue=2)
+    # worker takes one request off the queue and blocks inside synth; two
+    # more fill the bounded queue; the next submit must backpressure
+    b2.submit(Request("0", "s"))
+    deadline = time.monotonic() + 5
+    while time.monotonic() < deadline:
+        try:
+            b2.submit(Request("fill", "s"))
+        except queue.Full:
+            break
+        time.sleep(0.01)
+    else:
+        pytest.fail("queue never filled")
+    synth2.block.set()
+    b2.close()
+
+
+# ---------------------------------------------------------------- engine
+@pytest.fixture(scope="module")
+def tiny_engine(tmp_path_factory):
+    from test_e2e import TINY_CODEC, TINY_S2A, TINY_T2S
+    from edm_tts_tpu.models.codec import Codec
+    from edm_tts_tpu.models.hubert import HubertModel
+    from edm_tts_tpu.models.hubert.config import HubertConfig
+    from edm_tts_tpu.models.s2a import InjectionConformer
+    from edm_tts_tpu.models.t2s import TextToSemantic
+    from edm_tts_tpu.utils.hub import (
+        save_codec,
+        save_hubert,
+        save_s2a,
+        save_t2s,
+    )
+
+    tmp = tmp_path_factory.mktemp("serving_models")
+    rng = jax.random.PRNGKey(0)
+    codec = Codec(TINY_CODEC)
+    codec_params = jax.jit(codec.init)(rng, jnp.zeros((1, 640, 1)))
+    save_codec(str(tmp / "codec"), codec, codec_params)
+
+    hub_cfg = HubertConfig(
+        conv_dim=(8,) * 7, conv_kernel=(10, 3, 3, 3, 3, 2, 2),
+        conv_stride=(5, 2, 2, 2, 2, 2, 2), hidden_size=16,
+        num_hidden_layers=1, num_attention_heads=4, intermediate_size=32,
+        num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+    )
+    hub = HubertModel(hub_cfg)
+    hub_params = jax.jit(hub.init)(rng, jnp.zeros((1, 1280)))
+    centers = jax.random.normal(rng, (TINY_S2A.num_semantic_tokens, 16))
+    save_hubert(str(tmp / "hubert"), hub_cfg, hub_params, centers)
+
+    s2a = InjectionConformer(TINY_S2A)
+    s2a_params = jax.jit(
+        lambda r: s2a.init(
+            r, jnp.zeros((1, 4, 8), jnp.int32), jnp.zeros((1, 8), jnp.int32),
+            mask_rng=r, train=False,
+        )
+    )(rng)
+    s2a_params = {
+        "params": {**s2a_params["params"], "codec": codec_params["params"]}
+    }
+    save_s2a(str(tmp / "s2a"), s2a, s2a_params)
+
+    t2s = TextToSemantic(TINY_T2S)
+    t2s_params = jax.jit(
+        lambda r: t2s.init(
+            r, jnp.zeros((1, 16), jnp.int32), jnp.ones((1, 16), bool),
+            jnp.zeros((1, 16), bool), jnp.zeros((1, 4), jnp.int32),
+            jnp.ones((1, 4), bool), jnp.ones((1,)),
+            mask_rng=r, train=False,
+        )
+    )(rng)
+    save_t2s(str(tmp / "t2s"), t2s, t2s_params)
+
+    eng = TTSEngine(
+        str(tmp / "codec"), str(tmp / "t2s"), str(tmp / "s2a"),
+        str(tmp / "hubert"), dtype=jnp.float32, pred_iters=2, s2a_steps=2,
+        max_speech_len=16, text_bucket=8, length_bucket=8,
+        batch_buckets=(1, 2, 4),
+    )
+    wav = (np.random.default_rng(0).standard_normal(3200) * 0.1).astype(
+        np.float32
+    )
+    eng.register_speaker("alice", wav, eng.sample_rate)
+    return eng
+
+
+@pytest.mark.slow
+def test_engine_synthesize_batch(tiny_engine):
+    wavs = tiny_engine.synthesize(
+        ["hello", "hey"], "alice", seed=3, gt_lengths=[10, 6]
+    )
+    assert len(wavs) == 2
+    ds = tiny_engine.tokenizer.downsample_factor
+    assert wavs[0].shape == (10 * ds,)
+    assert wavs[1].shape == (6 * ds,)
+    assert all(np.isfinite(w).all() for w in wavs)
+    # deterministic per (texts, seed)
+    again = tiny_engine.synthesize(
+        ["hello", "hey"], "alice", seed=3, gt_lengths=[10, 6]
+    )
+    np.testing.assert_array_equal(wavs[0], again[0])
+
+
+@pytest.mark.slow
+def test_engine_with_batcher_end_to_end(tiny_engine):
+    b = DynamicBatcher(tiny_engine.synthesize, max_batch=4, max_wait_ms=100)
+    futs = [
+        b.submit(Request("hello", "alice", seed=1, gt_length=8)),
+        b.submit(Request("hi you", "alice", seed=1, gt_length=12)),
+    ]
+    ws = [f.result(120) for f in futs]
+    b.close()
+    ds = tiny_engine.tokenizer.downsample_factor
+    assert ws[0].shape == (8 * ds,) and ws[1].shape == (12 * ds,)
+    assert all(np.isfinite(w).all() for w in ws)
