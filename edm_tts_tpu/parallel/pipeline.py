@@ -133,13 +133,20 @@ def pipeline_apply(
         _, ys = jax.lax.scan(tick, zero, jnp.arange(ticks))
         # only the last stage's outputs are the model's outputs; mask and
         # psum to replicate them to every stage (one all-reduce at the end).
-        is_last = (stage == n_pipe - 1).astype(jnp.float32)
-        ys = jax.tree_util.tree_map(
-            lambda y: jax.lax.psum(
-                (y.astype(jnp.float32) * is_last), PIPE_AXIS
-            ).astype(y.dtype),
-            ys,
-        )
+        # Exact for every dtype: non-last stages contribute zeros, so the
+        # sum IS the last stage's value (ints stay exact — no f32 cast;
+        # bools ride as int32).
+        is_last = stage == n_pipe - 1
+
+        def select_last(y):
+            masked = jnp.where(is_last, y, jnp.zeros_like(y))
+            if y.dtype == jnp.bool_:
+                return jax.lax.psum(
+                    masked.astype(jnp.int32), PIPE_AXIS
+                ).astype(jnp.bool_)
+            return jax.lax.psum(masked, PIPE_AXIS)
+
+        ys = jax.tree_util.tree_map(select_last, ys)
         # tick t delivers microbatch t-(S-1) out of the last stage
         return jax.tree_util.tree_map(lambda y: y[n_pipe - 1 :], ys)
 

@@ -136,14 +136,22 @@ def test_pipeline_passthrough_pytree():
     n_stages = 2
 
     def stage_fn(w, act):
-        return {"x": act["x"] * w[0] + act["m"], "m": act["m"]}
+        return {"x": act["x"] * w[0] + act["m"], "m": act["m"],
+                "ids": act["ids"], "flag": act["flag"]}
 
     mesh = make_pipe_mesh(n_stages, devices=jax.devices()[:n_stages])
     w = jnp.asarray([[2.0], [3.0]])  # stage 0 doubles, stage 1 triples
     x = jnp.arange(6.0).reshape(3, 2)  # M=3 microbatches of shape (2,)
     m = jnp.ones((3, 2))
+    # int32 beyond f32's 2^24 integer range and bools must survive the
+    # final replication psum exactly
+    ids = jnp.asarray([[2**24 + 1, 2**30 - 3]] * 3, jnp.int32)
+    flag = jnp.asarray([[True, False]] * 3)
     out = pipeline_apply(
-        stage_fn, w, {"x": x, "m": m}, mesh
+        stage_fn, w, {"x": x, "m": m, "ids": ids, "flag": flag}, mesh
     )
     np.testing.assert_allclose(np.asarray(out["x"]), (x * 2 + 1) * 3 + 1)
     np.testing.assert_allclose(np.asarray(out["m"]), np.asarray(m))
+    np.testing.assert_array_equal(np.asarray(out["ids"]), np.asarray(ids))
+    assert out["flag"].dtype == jnp.bool_
+    np.testing.assert_array_equal(np.asarray(out["flag"]), np.asarray(flag))
