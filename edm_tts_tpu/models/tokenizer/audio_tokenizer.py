@@ -36,11 +36,16 @@ Array = jax.Array
 
 
 class AudioTokenizer:
-    def __init__(self, codec: Codec, semantic: SemanticTokenizerHubert):
+    def __init__(self, codec: Codec, semantic: SemanticTokenizerHubert | None):
+        """``semantic=None`` builds a codec-only tokenizer: decode and
+        acoustic encode work, ``compute_codes`` does not — enough for
+        serving with precomputed prompt codes
+        (serving/engine.py::register_speaker_codes)."""
         self.codec = codec
         self.semantic = semantic
         self.sample_rate = codec.config.sample_rate
-        assert self.sample_rate == semantic.sample_rate
+        if semantic is not None:
+            assert self.sample_rate == semantic.sample_rate
 
     @property
     def downsample_factor(self) -> int:

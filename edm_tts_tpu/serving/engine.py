@@ -45,6 +45,39 @@ class TTSEngine:
         hubert_model: str,
         *,
         dtype=jnp.bfloat16,
+        **opts,
+    ):
+        from edm_tts_tpu.utils.hub import (
+            build_audio_tokenizer,
+            load_s2a,
+            load_t2s,
+        )
+
+        tokenizer, codec_params, sem_params = build_audio_tokenizer(
+            codec_model, hubert_model, dtype=dtype
+        )
+        s2a, s2a_params = load_s2a(s2a_model, dtype=dtype)
+        t2s, t2s_params = load_t2s(t2s_model, dtype=dtype)
+        self._setup(tokenizer, codec_params, sem_params, s2a, s2a_params,
+                    t2s, t2s_params, **opts)
+
+    @classmethod
+    def from_models(
+        cls, tokenizer, codec_params, sem_params, s2a, s2a_params,
+        t2s, t2s_params, **opts,
+    ) -> "TTSEngine":
+        """Build an engine from in-memory models/params — serve straight
+        off a training run's state without an export round-trip.
+        ``sem_params`` may be None if speakers are registered via
+        ``register_speaker_codes`` (no HuBERT tokenization needed)."""
+        self = cls.__new__(cls)
+        self._setup(tokenizer, codec_params, sem_params, s2a, s2a_params,
+                    t2s, t2s_params, **opts)
+        return self
+
+    def _setup(
+        self, tokenizer, codec_params, sem_params, s2a, s2a_params,
+        t2s, t2s_params, *,
         pred_iters: int = 16,
         s2a_steps: int = 8,
         temperature: float = 1.0,
@@ -53,17 +86,11 @@ class TTSEngine:
         length_bucket: int = 64,
         batch_buckets: tuple[int, ...] = (1, 2, 4, 8, 16),
     ):
-        from edm_tts_tpu.utils.hub import (
-            build_audio_tokenizer,
-            load_s2a,
-            load_t2s,
-        )
-
-        self.tokenizer, self._codec_params, self._sem_params = (
-            build_audio_tokenizer(codec_model, hubert_model, dtype=dtype)
-        )
-        self._s2a, self._s2a_params = load_s2a(s2a_model, dtype=dtype)
-        self._t2s, self._t2s_params = load_t2s(t2s_model, dtype=dtype)
+        self.tokenizer = tokenizer
+        self._codec_params = codec_params
+        self._sem_params = sem_params
+        self._s2a, self._s2a_params = s2a, s2a_params
+        self._t2s, self._t2s_params = t2s, t2s_params
         self.pred_iters = pred_iters
         self.s2a_steps = s2a_steps
         self.temperature = temperature
@@ -94,6 +121,15 @@ class TTSEngine:
         )
         self._speakers[name] = SpeakerPrompt(
             codes["acoustic_codes"], codes["semantic_codes"]
+        )
+
+    def register_speaker_codes(
+        self, name: str, acoustic_codes, semantic_codes
+    ) -> None:
+        """Register precomputed prompt codes (``(1, Q, Tp)`` acoustic,
+        ``(1, Tp)`` semantic) — e.g. from an offline dump_tokens pass."""
+        self._speakers[name] = SpeakerPrompt(
+            jnp.asarray(acoustic_codes), jnp.asarray(semantic_codes)
         )
 
     def speakers(self) -> tuple[str, ...]:

@@ -205,6 +205,57 @@ def test_engine_synthesize_batch(tiny_engine):
 
 
 @pytest.mark.slow
+def test_engine_from_models_precomputed_prompt():
+    """The in-memory construction path (serve straight off training state,
+    no export round-trip, no HuBERT): TTSEngine.from_models with a
+    codec-only tokenizer + register_speaker_codes."""
+    from test_e2e import TINY_CODEC, TINY_S2A, TINY_T2S
+    from edm_tts_tpu.models.codec import Codec
+    from edm_tts_tpu.models.s2a import InjectionConformer
+    from edm_tts_tpu.models.t2s import TextToSemantic
+    from edm_tts_tpu.models.tokenizer.audio_tokenizer import AudioTokenizer
+
+    rng = jax.random.PRNGKey(0)
+    codec = Codec(TINY_CODEC)
+    codec_params = jax.jit(codec.init)(rng, jnp.zeros((1, 640, 1)))
+    s2a = InjectionConformer(TINY_S2A)
+    s2a_params = jax.jit(
+        lambda r: s2a.init(
+            r, jnp.zeros((1, 4, 8), jnp.int32), jnp.zeros((1, 8), jnp.int32),
+            mask_rng=r, train=False,
+        )
+    )(rng)
+    s2a_params = {
+        "params": {**s2a_params["params"], "codec": codec_params["params"]}
+    }
+    t2s = TextToSemantic(TINY_T2S)
+    t2s_params = jax.jit(
+        lambda r: t2s.init(
+            r, jnp.zeros((1, 16), jnp.int32), jnp.ones((1, 16), bool),
+            jnp.zeros((1, 16), bool), jnp.zeros((1, 4), jnp.int32),
+            jnp.ones((1, 4), bool), jnp.ones((1,)),
+            mask_rng=r, train=False,
+        )
+    )(rng)
+
+    eng = TTSEngine.from_models(
+        AudioTokenizer(codec, None), codec_params, None,
+        s2a, s2a_params, t2s, t2s_params,
+        pred_iters=2, s2a_steps=2, max_speech_len=16, text_bucket=8,
+        length_bucket=8, batch_buckets=(1, 2),
+    )
+    k1, k2 = jax.random.split(rng)
+    eng.register_speaker_codes(
+        "p",
+        jax.random.randint(k1, (1, 4, 10), 0, TINY_CODEC.codebook_size),
+        jax.random.randint(k2, (1, 10), 0, TINY_S2A.num_semantic_tokens),
+    )
+    wavs = eng.synthesize(["hello"], "p", seed=0, gt_lengths=[8])
+    assert wavs[0].shape == (8 * eng.tokenizer.downsample_factor,)
+    assert np.isfinite(wavs[0]).all()
+
+
+@pytest.mark.slow
 def test_engine_with_batcher_end_to_end(tiny_engine):
     b = DynamicBatcher(tiny_engine.synthesize, max_batch=4, max_wait_ms=100)
     futs = [
