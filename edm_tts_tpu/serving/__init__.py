@@ -1,2 +1,3 @@
 from edm_tts_tpu.serving.batcher import DynamicBatcher, Request
 from edm_tts_tpu.serving.engine import TTSEngine
+from edm_tts_tpu.serving.server import TTSServer

@@ -51,6 +51,12 @@ class DynamicBatcher:
         self.max_wait = max_wait_ms / 1e3
         self._q: queue.Queue = queue.Queue(maxsize=max_queue)
         self._closed = threading.Event()
+        self._stats_lock = threading.Lock()
+        self._stats = {
+            "requests": 0, "completed": 0, "failed": 0,
+            "engine_calls": 0, "batched_requests": 0,
+            "latency_s_sum": 0.0, "latency_s_max": 0.0,
+        }
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
 
@@ -61,8 +67,25 @@ class DynamicBatcher:
         if self._closed.is_set():
             raise RuntimeError("batcher is closed")
         fut: Future = Future()
-        self._q.put_nowait((req, fut))
+        self._q.put_nowait((req, fut, time.monotonic()))
+        with self._stats_lock:
+            self._stats["requests"] += 1
         return fut
+
+    def stats(self) -> dict:
+        """Operational counters: request/batch counts, failures, mean and
+        max client-visible latency, current queue depth."""
+        with self._stats_lock:
+            s = dict(self._stats)
+        s["queue_depth"] = self._q.qsize()
+        s["mean_batch"] = (
+            s["batched_requests"] / s["engine_calls"]
+            if s["engine_calls"] else 0.0
+        )
+        s["latency_s_mean"] = (
+            s.pop("latency_s_sum") / s["completed"] if s["completed"] else 0.0
+        )
+        return s
 
     def close(self, drain: bool = True) -> None:
         """Stop accepting requests; optionally wait for in-flight work."""
@@ -70,7 +93,7 @@ class DynamicBatcher:
         if drain:
             self._q.join()
         # wake the worker if it is blocked on an empty queue
-        self._q.put((None, None))
+        self._q.put((None, None, None))
         self._worker.join(timeout=10)
 
     # -- worker side ------------------------------------------------------
@@ -95,7 +118,7 @@ class DynamicBatcher:
                 # re-post the shutdown sentinel so the NEXT _collect (which
                 # would otherwise block forever on the drained queue) sees it
                 self._q.task_done()
-                self._q.put((None, None))
+                self._q.put((None, None, None))
                 break
             batch.append(item)
         return batch
@@ -109,14 +132,14 @@ class DynamicBatcher:
                 continue
             # one engine call per (speaker, seed) group: a batch shares one
             # prompt and one PRNG key
-            groups: dict[tuple[str, int], list[tuple[Request, Future]]] = {}
-            for req, fut in batch:
-                groups.setdefault((req.speaker, req.seed), []).append(
-                    (req, fut)
-                )
+            groups: dict[tuple[str, int], list] = {}
+            for item in batch:
+                req = item[0]
+                groups.setdefault((req.speaker, req.seed), []).append(item)
             for (speaker, seed), items in groups.items():
-                reqs = [r for r, _ in items]
-                futs = [f for _, f in items]
+                reqs = [r for r, _, _ in items]
+                futs = [f for _, f, _ in items]
+                t0s = [t for _, _, t in items]
                 gt = [r.gt_length for r in reqs]
                 kwargs = {"seed": seed}
                 if all(g is not None for g in gt):
@@ -125,9 +148,24 @@ class DynamicBatcher:
                     wavs = self._synth(
                         [r.text for r in reqs], speaker, **kwargs
                     )
+                    now = time.monotonic()
+                    with self._stats_lock:
+                        self._stats["engine_calls"] += 1
+                        self._stats["batched_requests"] += len(reqs)
+                        self._stats["completed"] += len(reqs)
+                        for t0 in t0s:
+                            lat = now - t0
+                            self._stats["latency_s_sum"] += lat
+                            self._stats["latency_s_max"] = max(
+                                self._stats["latency_s_max"], lat
+                            )
                     for fut, wav in zip(futs, wavs):
                         fut.set_result(wav)
                 except Exception as e:  # noqa: BLE001 — fail the requests, not the server
+                    with self._stats_lock:
+                        self._stats["engine_calls"] += 1
+                        self._stats["batched_requests"] += len(reqs)
+                        self._stats["failed"] += len(reqs)
                     for fut in futs:
                         fut.set_exception(e)
             for _ in batch:

@@ -263,7 +263,89 @@ def test_engine_with_batcher_end_to_end(tiny_engine):
         b.submit(Request("hi you", "alice", seed=1, gt_length=12)),
     ]
     ws = [f.result(120) for f in futs]
-    b.close()
     ds = tiny_engine.tokenizer.downsample_factor
     assert ws[0].shape == (8 * ds,) and ws[1].shape == (12 * ds,)
     assert all(np.isfinite(w).all() for w in ws)
+    s = b.stats()
+    b.close()
+    assert s["requests"] == 2 and s["completed"] == 2 and s["failed"] == 0
+    assert s["latency_s_mean"] > 0 and s["latency_s_max"] >= s["latency_s_mean"]
+    assert s["mean_batch"] >= 1.0
+
+
+@pytest.mark.slow
+def test_http_server_end_to_end(tiny_engine):
+    """Full transport stack: HTTP -> batcher -> engine -> WAV bytes, plus
+    health/stats endpoints and error mapping."""
+    import io
+    import json
+    import urllib.error
+    import urllib.request
+
+    from scipy.io import wavfile
+
+    from edm_tts_tpu.serving import TTSServer
+
+    srv = TTSServer(tiny_engine, max_batch=4, max_wait_ms=50).start()
+    base = f"http://{srv.host}:{srv.port}"
+    try:
+        # health
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["ok"] and "alice" in health["speakers"]
+
+        # synthesize -> valid WAV of the requested length
+        body = json.dumps(
+            {"text": "hello", "speaker": "alice", "seed": 2, "gt_length": 8}
+        ).encode()
+        req = urllib.request.Request(
+            f"{base}/synthesize", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert r.headers["Content-Type"] == "audio/wav"
+            sr, pcm = wavfile.read(io.BytesIO(r.read()))
+        assert sr == tiny_engine.sample_rate
+        assert pcm.shape == (8 * tiny_engine.tokenizer.downsample_factor,)
+        assert pcm.dtype == np.int16
+
+        # unknown speaker -> 400
+        bad = urllib.request.Request(
+            f"{base}/synthesize",
+            data=json.dumps({"text": "x", "speaker": "nope"}).encode(),
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(bad, timeout=30)
+        assert ei.value.code == 400
+
+        # register a speaker over HTTP, then use it
+        import base64
+
+        pcm_f32 = (np.random.default_rng(1).standard_normal(3200) * 0.1
+                   ).astype("<f4")
+        reg = urllib.request.Request(
+            f"{base}/speakers",
+            data=json.dumps({
+                "name": "bob",
+                "pcm_b64": base64.b64encode(pcm_f32.tobytes()).decode(),
+                "sample_rate": tiny_engine.sample_rate,
+            }).encode(),
+        )
+        with urllib.request.urlopen(reg, timeout=120) as r:
+            assert json.loads(r.read())["ok"]
+        body2 = json.dumps(
+            {"text": "hey", "speaker": "bob", "gt_length": 6}
+        ).encode()
+        with urllib.request.urlopen(
+            urllib.request.Request(f"{base}/synthesize", data=body2),
+            timeout=120,
+        ) as r:
+            sr2, pcm2 = wavfile.read(io.BytesIO(r.read()))
+        assert pcm2.shape == (6 * tiny_engine.tokenizer.downsample_factor,)
+
+        # stats reflect the two successful synthesizes
+        with urllib.request.urlopen(f"{base}/stats", timeout=30) as r:
+            stats = json.loads(r.read())
+        assert stats["completed"] == 2 and stats["failed"] == 0
+    finally:
+        srv.shutdown()
