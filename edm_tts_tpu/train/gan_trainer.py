@@ -124,6 +124,13 @@ class GANTrainer:
         eval_iter: Iterable | None = None,
         config_json: str = "{}",
     ):
+        from edm_tts_tpu.train.preemption import PreemptionGuard
+
+        with PreemptionGuard() as guard:
+            self._guard = guard
+            return self._train_loop(train_iter, eval_iter, config_json, guard)
+
+    def _train_loop(self, train_iter, eval_iter, config_json, guard):
         args = self.args
         start = self._restore()
         step = start
@@ -159,6 +166,9 @@ class GANTrainer:
                     self.export_best(config_json)
             if (step + 1) % args.save_steps == 0:
                 self.save(step + 1)
+            if guard.triggered:
+                logger.warning("preemption signal; saving at step %d", step + 1)
+                break
             if t_limit is not None and time.time() - t0 > t_limit:
                 logger.info("time limit; saving at step %d", step + 1)
                 break

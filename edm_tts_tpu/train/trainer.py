@@ -232,6 +232,13 @@ class Trainer:
 
     # -- main loop -----------------------------------------------------------
     def train(self, train_iter: Iterator, eval_iter: Iterable | None = None):
+        from edm_tts_tpu.train.preemption import PreemptionGuard
+
+        with PreemptionGuard() as guard:
+            self._guard = guard
+            return self._train_loop(train_iter, eval_iter, guard)
+
+    def _train_loop(self, train_iter, eval_iter, guard):
         args = self.args
         start_step = self.maybe_resume()
         rng = jax.random.PRNGKey(args.seed)
@@ -264,6 +271,13 @@ class Trainer:
                 self.metrics.log(step + 1, eval_metrics, prefix="eval/")
             if (step + 1) % args.save_steps == 0:
                 self.save(step + 1)
+            if guard.triggered:
+                logger.warning(
+                    "preemption signal: checkpointing at step %d and "
+                    "stopping (resume picks this up)", step + 1,
+                )
+                self.save(step + 1)
+                break
             if t_limit is not None and time.time() - t_start > t_limit:
                 logger.info("time limit reached at step %d; saving and stopping", step + 1)
                 self.save(step + 1)
