@@ -85,12 +85,33 @@ class TTSEngine:
         text_bucket: int = 32,
         length_bucket: int = 64,
         batch_buckets: tuple[int, ...] = (1, 2, 4, 8, 16),
+        mesh=None,
     ):
         self.tokenizer = tokenizer
         self._codec_params = codec_params
         self._sem_params = sem_params
         self._s2a, self._s2a_params = s2a, s2a_params
         self._t2s, self._t2s_params = t2s, t2s_params
+        # multi-chip data-parallel serving: batches shard over the mesh's
+        # ``data`` axis (params replicated once here); every batch bucket
+        # must be divisible by the data-axis size. Per-request math is
+        # unchanged (same PRNG, same canvas); outputs agree with
+        # single-device serving to float tolerance (the partitioned
+        # programs fuse differently — test_serving.py pins this).
+        self._mesh = mesh
+        if mesh is not None:
+            from edm_tts_tpu.parallel.mesh import batch_sharding, replicated
+
+            n_data = mesh.shape["data"]
+            assert all(b % n_data == 0 for b in batch_buckets), (
+                f"batch buckets {batch_buckets} must be divisible by the "
+                f"data axis ({n_data})"
+            )
+            self._dp_shard = batch_sharding(mesh)
+            rep = replicated(mesh)
+            self._s2a_params = jax.device_put(self._s2a_params, rep)
+            self._t2s_params = jax.device_put(self._t2s_params, rep)
+            self._codec_params = jax.device_put(self._codec_params, rep)
         self.pred_iters = pred_iters
         self.s2a_steps = s2a_steps
         self.temperature = temperature
@@ -172,6 +193,12 @@ class TTSEngine:
                 list(gt_lengths) + [gt_lengths[0]] * (b - b_real), jnp.int32
             )
 
+        if self._mesh is not None:
+            text_tokens = jax.device_put(text_tokens, self._dp_shard)
+            text_lengths = jax.device_put(text_lengths, self._dp_shard)
+            if gt is not None:
+                gt = jax.device_put(gt, self._dp_shard)
+
         rng = jax.random.PRNGKey(seed)
         k_t2s, k_s2a = jax.random.split(rng)
 
@@ -190,10 +217,16 @@ class TTSEngine:
 
         pa = prompt.acoustic_codes
         ps = prompt.semantic_codes
+        pa = jnp.broadcast_to(pa, (b, *pa.shape[1:]))
+        ps = jnp.broadcast_to(ps, (b, *ps.shape[1:]))
+        if self._mesh is not None:
+            lengths_dev = jax.device_put(lengths_dev, self._dp_shard)
+            semantic_valid = jax.device_put(semantic_valid, self._dp_shard)
+            pa = jax.device_put(pa, self._dp_shard)
+            ps = jax.device_put(ps, self._dp_shard)
         acoustic_codes = s2a_sample(
             self._s2a, self._s2a_params, semantic_tokens,
-            jnp.broadcast_to(pa, (b, *pa.shape[1:])),
-            jnp.broadcast_to(ps, (b, *ps.shape[1:])),
+            pa, ps,
             k_s2a, steps=self.s2a_steps, temperature=self.temperature,
             semantic_valid=semantic_valid,
         )

@@ -120,7 +120,7 @@ def test_batcher_close_rejects_and_backpressure():
 
 # ---------------------------------------------------------------- engine
 @pytest.fixture(scope="module")
-def tiny_engine(tmp_path_factory):
+def tiny_model_dirs(tmp_path_factory):
     from test_e2e import TINY_CODEC, TINY_S2A, TINY_T2S
     from edm_tts_tpu.models.codec import Codec
     from edm_tts_tpu.models.hubert import HubertModel
@@ -173,7 +173,12 @@ def tiny_engine(tmp_path_factory):
         )
     )(rng)
     save_t2s(str(tmp / "t2s"), t2s, t2s_params)
+    return tmp
 
+
+@pytest.fixture(scope="module")
+def tiny_engine(tiny_model_dirs):
+    tmp = tiny_model_dirs
     eng = TTSEngine(
         str(tmp / "codec"), str(tmp / "t2s"), str(tmp / "s2a"),
         str(tmp / "hubert"), dtype=jnp.float32, pred_iters=2, s2a_steps=2,
@@ -185,6 +190,34 @@ def tiny_engine(tmp_path_factory):
     )
     eng.register_speaker("alice", wav, eng.sample_rate)
     return eng
+
+
+@pytest.mark.slow
+def test_serve_cli_build(tiny_model_dirs):
+    """serve.py builds a working server from exported model dirs (the
+    deployment CLI path); health endpoint answers, graceful shutdown."""
+    import argparse
+    import json
+    import urllib.request
+
+    import serve
+
+    tmp = tiny_model_dirs
+    args = argparse.Namespace(
+        codec_model=str(tmp / "codec"), t2s_model=str(tmp / "t2s"),
+        s2a_model=str(tmp / "s2a"), hubert_model=str(tmp / "hubert"),
+        speaker=None, host="127.0.0.1", port=0, max_batch=4,
+        max_wait_ms=10.0, pred_iters=2, s2a_steps=2, temperature=1.0,
+        max_speech_len=16, dtype="float32",
+    )
+    srv = serve.build_server(args).start()
+    try:
+        with urllib.request.urlopen(
+            f"http://{srv.host}:{srv.port}/healthz", timeout=30
+        ) as r:
+            assert json.loads(r.read())["ok"]
+    finally:
+        srv.shutdown()
 
 
 @pytest.mark.slow
@@ -253,6 +286,76 @@ def test_engine_from_models_precomputed_prompt():
     wavs = eng.synthesize(["hello"], "p", seed=0, gt_lengths=[8])
     assert wavs[0].shape == (8 * eng.tokenizer.downsample_factor,)
     assert np.isfinite(wavs[0]).all()
+
+
+@pytest.mark.slow
+def test_engine_dp_mesh_matches_single_device():
+    """Multi-chip serving: an engine on a (data=4) mesh shards each batch
+    over the devices and produces the same audio as the single-device
+    engine (same bucket, same PRNG; float-tolerance — the partitioned
+    programs fuse differently than the single-device ones, unlike the
+    fused one-dispatch path of test_sharded_inference which IS bit-exact)."""
+    from test_e2e import TINY_CODEC, TINY_S2A, TINY_T2S
+    from edm_tts_tpu.models.codec import Codec
+    from edm_tts_tpu.models.s2a import InjectionConformer
+    from edm_tts_tpu.models.t2s import TextToSemantic
+    from edm_tts_tpu.models.tokenizer.audio_tokenizer import AudioTokenizer
+    from edm_tts_tpu.parallel.mesh import make_mesh
+
+    rng = jax.random.PRNGKey(0)
+    codec = Codec(TINY_CODEC)
+    codec_params = jax.jit(codec.init)(rng, jnp.zeros((1, 640, 1)))
+    s2a = InjectionConformer(TINY_S2A)
+    s2a_params = jax.jit(
+        lambda r: s2a.init(
+            r, jnp.zeros((1, 4, 8), jnp.int32), jnp.zeros((1, 8), jnp.int32),
+            mask_rng=r, train=False,
+        )
+    )(rng)
+    s2a_params = {
+        "params": {**s2a_params["params"], "codec": codec_params["params"]}
+    }
+    t2s = TextToSemantic(TINY_T2S)
+    t2s_params = jax.jit(
+        lambda r: t2s.init(
+            r, jnp.zeros((1, 16), jnp.int32), jnp.ones((1, 16), bool),
+            jnp.zeros((1, 16), bool), jnp.zeros((1, 4), jnp.int32),
+            jnp.ones((1, 4), bool), jnp.ones((1,)),
+            mask_rng=r, train=False,
+        )
+    )(rng)
+
+    def build(mesh):
+        eng = TTSEngine.from_models(
+            AudioTokenizer(codec, None), codec_params, None,
+            s2a, s2a_params, t2s, t2s_params,
+            pred_iters=2, s2a_steps=2, max_speech_len=16, text_bucket=8,
+            length_bucket=8, batch_buckets=(4,), mesh=mesh,
+        )
+        k1, k2 = jax.random.split(rng)
+        eng.register_speaker_codes(
+            "p",
+            jax.random.randint(k1, (1, 4, 10), 0, TINY_CODEC.codebook_size),
+            jax.random.randint(k2, (1, 10), 0, TINY_S2A.num_semantic_tokens),
+        )
+        return eng
+
+    texts = ["hello", "hey there", "third one"]
+    gt = [8, 6, 12]
+    w1 = build(None).synthesize(texts, "p", seed=5, gt_lengths=gt)
+    mesh = make_mesh(4, 1, devices=jax.devices()[:4])
+    w4 = build(mesh).synthesize(texts, "p", seed=5, gt_lengths=gt)
+    for a, b in zip(w1, w4):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+    # buckets that don't divide the data axis are rejected at construction
+    with pytest.raises(AssertionError):
+        TTSEngine.from_models(
+            AudioTokenizer(codec, None), codec_params, None,
+            s2a, s2a_params, t2s, t2s_params,
+            batch_buckets=(1, 2), mesh=mesh,
+        )
 
 
 @pytest.mark.slow
