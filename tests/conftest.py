@@ -21,9 +21,16 @@ import jax  # noqa: E402
 # lazily, so forcing the config here still wins.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
-# persistent compile cache makes repeated test runs fast
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# The persistent compile cache is OFF by default for the suite: full-suite
+# runs (215+ tests, torch + jax + native threads in one process) segfault
+# nondeterministically INSIDE XLA:CPU executable (de)serialization
+# (compilation_cache.get/put_executable_and_time — observed 3/3 full runs,
+# never reproducible in any subset; see CLAUDE.md). Deterministic-but-cold
+# beats fast-but-flaky for the green check. Set EDM_TESTS_JAX_CACHE=1 to
+# re-enable when iterating on a few files (small runs never crashed).
+if os.environ.get("EDM_TESTS_JAX_CACHE") == "1":
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
