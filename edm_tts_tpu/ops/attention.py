@@ -38,9 +38,25 @@ def mha(
     Args:
       q, k, v: ``(B, T, H, D)``.
       mask: optional bool ``(B, T_k)`` key-padding mask, True = valid.
-      implementation: 'auto' (pallas on TPU, xla elsewhere), 'xla', 'pallas'.
+      implementation: 'auto' (pallas on TPU, xla elsewhere), 'xla', 'pallas',
+        or 'ring' (sequence-parallel over the ambient mesh's ``sequence``
+        axis — trace the program under ``with mesh:``; see
+        ops/ring_attention.py).
     Returns ``(B, T_q, H, D)``.
     """
+    if implementation == "ring":
+        from edm_tts_tpu.ops.ring_attention import SEQ_AXIS, ambient_mesh, ring_mha
+
+        mesh = ambient_mesh()
+        if mesh is None or SEQ_AXIS not in mesh.axis_names:
+            raise ValueError(
+                "implementation='ring' needs an enclosing `with mesh:` whose "
+                f"mesh has a {SEQ_AXIS!r} axis (got "
+                f"{None if mesh is None else mesh.axis_names})"
+            )
+        return checkpoint_name(
+            ring_mha(q, k, v, mesh=mesh, mask=mask), "mha_out"
+        )
     if implementation == "auto":
         # measured on v5e: the Pallas kernel wins 1.65-1.8x at training shapes
         # (many query rows amortize the grid), XLA fused attention wins at

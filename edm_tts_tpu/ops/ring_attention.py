@@ -91,6 +91,25 @@ def make_seq_mesh(n_seq: int, devices=None) -> Mesh:
     return Mesh(np.asarray(devices[:n_seq]), (SEQ_AXIS,))
 
 
+def ambient_mesh() -> Mesh | None:
+    """The mesh of the innermost enclosing ``with mesh:`` block, or None.
+
+    This is how the model stack reaches the ring without plumbing a Mesh
+    through every (serializable) model config: the trainers/inference paths
+    already trace their jitted programs under ``with mesh:``
+    (train/trainer.py, __graft_entry__.dryrun_multichip), so
+    ``ConformerConfig(attn_implementation="ring")`` can resolve it at trace
+    time. Uses the internal accessor (the public alias is deprecation-warned
+    in jax 0.9) with the public one as fallback.
+    """
+    try:
+        from jax._src.mesh import thread_resources
+    except ImportError:  # pragma: no cover - older/newer jax layouts
+        from jax.interpreters.pxla import thread_resources
+    m = thread_resources.env.physical_mesh
+    return None if m.empty else m
+
+
 def ring_mha(
     q: Array,
     k: Array,
@@ -99,21 +118,26 @@ def ring_mha(
     mesh: Mesh,
     mask: Array | None = None,
     axis_name: str = SEQ_AXIS,
+    batch_axis: str | None = "auto",
 ) -> Array:
     """Sequence-parallel bidirectional MHA.
 
     Args are GLOBAL arrays: q, k, v ``(B, T, H, D)``, mask ``(B, T)`` bool
-    (True = attend). T is sharded over ``axis_name``; everything else is
-    replicated. Returns the global ``(B, T, H, D)`` output, T-sharded the
-    same way (callers under jit see a normal array; XLA keeps it sharded).
+    (True = attend). T is sharded over ``axis_name``; the batch dim is
+    sharded over ``batch_axis`` ("auto": the mesh's ``data`` axis when it
+    has one — dp x sp composition — else replicated). Returns the global
+    ``(B, T, H, D)`` output, sharded the same way (callers under jit see a
+    normal array; XLA keeps it sharded).
     """
     t = q.shape[1]
     n = mesh.shape[axis_name]
     assert t % n == 0, f"sequence {t} not divisible by {n} ring devices"
+    if batch_axis == "auto":
+        batch_axis = "data" if "data" in mesh.axis_names else None
 
     body = functools.partial(_ring_attn_local, axis_name=axis_name)
-    qkv_spec = P(None, axis_name, None, None)
-    mask_spec = P(None, axis_name) if mask is not None else None
+    qkv_spec = P(batch_axis, axis_name, None, None)
+    mask_spec = P(batch_axis, axis_name) if mask is not None else None
     if mask is None:
         return shard_map(
             lambda q, k, v: body(q, k, v, None),
