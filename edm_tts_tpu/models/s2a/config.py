@@ -37,6 +37,9 @@ class S2AConfig:
     # 32 x 768) so the backward skips the most expensive recompute; "dots"
     # (save matmul outputs) OOMs 16G HBM at this scale (measured 18.4G).
     remat_policy: str = "mha"
+    # "auto" | "xla" | "pallas" | "ring" (sequence-parallel attention over
+    # the ambient mesh's `sequence` axis; see ops/ring_attention.py)
+    attn_implementation: str = "auto"
     codec: CodecConfig = dataclasses.field(default_factory=CodecConfig)
 
     @property
@@ -52,6 +55,7 @@ class S2AConfig:
             ff_dropout=self.encoder_ff_dropout,
             conv_dropout=self.encoder_conv_dropout,
             remat=self.gradient_checkpointing,
+            attn_implementation=self.attn_implementation,
         )
 
     @property

@@ -48,6 +48,9 @@ class T2SConfig:
     length_predictor_conv_dropout: float = 0.0
     gradient_checkpointing: bool = False
     remat_policy: str = "dots"  # "dots" (save matmul outputs) or "full"
+    # "auto" | "xla" | "pallas" | "ring" (sequence-parallel attention over
+    # the ambient mesh's `sequence` axis; see ops/ring_attention.py)
+    attn_implementation: str = "auto"
 
     @property
     def num_special_tokens(self) -> int:
@@ -77,6 +80,7 @@ class T2SConfig:
             conv_dropout=self.main_encoder_conv_dropout,
             remat=self.gradient_checkpointing,
             remat_policy=self.remat_policy,
+            attn_implementation=self.attn_implementation,
         )
 
     @property
@@ -92,6 +96,7 @@ class T2SConfig:
             attn_dropout=self.length_predictor_attn_dropout,
             ff_dropout=self.length_predictor_ff_dropout,
             conv_dropout=self.length_predictor_conv_dropout,
+            attn_implementation=self.attn_implementation,
         )
 
     def to_json(self) -> str:

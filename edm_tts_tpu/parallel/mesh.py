@@ -8,8 +8,9 @@ gradients; all-gather/reduce-scatter for fsdp-sharded params/optimizer
 state). ZeRO-2 == sharding the optimizer state (and optionally params)
 along ``fsdp``; plain DDP == fsdp=1.
 
-A ``sequence`` axis name is reserved for future context parallelism (the
-reference has none and sequences are <= ~2.5k; see SURVEY.md §5).
+The ``sequence`` axis (``make_mesh(..., n_seq>1)``) is the context-parallel
+ring for ``attn_implementation="ring"`` (ops/ring_attention.py); the
+reference has no SP at all — its sequences are <= ~2.5k (SURVEY.md §5).
 """
 
 from __future__ import annotations
@@ -24,24 +25,39 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 FSDP_AXIS = "fsdp"
 MODEL_AXIS = "model"  # tensor parallelism (attention heads / FF hidden)
-SEQUENCE_AXIS = "sequence"  # reserved, unused (parity: no SP in reference)
+SEQUENCE_AXIS = "sequence"  # ring-attention axis (no SP in the reference)
 
 
 def make_mesh(
-    n_data: int | None = None, n_fsdp: int = 1, n_model: int = 1, devices=None
+    n_data: int | None = None,
+    n_fsdp: int = 1,
+    n_model: int = 1,
+    devices=None,
+    *,
+    n_seq: int = 1,
 ) -> Mesh:
-    """Create a (data, fsdp, model) mesh over all (or given) devices.
+    """Create a (data, fsdp, model[, sequence]) mesh over all (or given)
+    devices.
 
-    ``model`` is the tensor-parallel axis (innermost, so its per-matmul
-    collectives ride the shortest ICI hops); size 1 unless requested, which
-    keeps every existing (data, fsdp) PartitionSpec valid unchanged."""
+    ``model`` is the tensor-parallel axis and ``sequence`` (present only
+    when ``n_seq > 1``) the ring-attention axis — both innermost, so their
+    per-step collectives ride the shortest ICI hops. Sizes default to 1,
+    which keeps every existing (data, fsdp) PartitionSpec valid unchanged;
+    models opt into the ring with ``attn_implementation="ring"``
+    (ops/ring_attention.py resolves this mesh from the ``with mesh:``
+    context)."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if n_data is None:
-        n_data = n // (n_fsdp * n_model)
-    assert n_data * n_fsdp * n_model == n, (
-        f"{n_data}x{n_fsdp}x{n_model} != {n} devices"
+        n_data = n // (n_fsdp * n_model * n_seq)
+    assert n_data * n_fsdp * n_model * n_seq == n, (
+        f"{n_data}x{n_fsdp}x{n_model}x{n_seq} != {n} devices"
     )
+    if n_seq > 1:
+        dev_array = np.asarray(devices).reshape(n_data, n_fsdp, n_model, n_seq)
+        return Mesh(
+            dev_array, (DATA_AXIS, FSDP_AXIS, MODEL_AXIS, SEQUENCE_AXIS)
+        )
     dev_array = np.asarray(devices).reshape(n_data, n_fsdp, n_model)
     return Mesh(dev_array, (DATA_AXIS, FSDP_AXIS, MODEL_AXIS))
 
