@@ -61,11 +61,12 @@ def stack_stage_params(per_stage: list[Pytree]) -> Pytree:
 
 
 def pipeline_apply(
-    stage_fn: Callable[[Pytree, Pytree], Pytree],
+    stage_fn: Callable[..., Pytree],
     stacked_params: Pytree,
     micro_inputs: Pytree,
     mesh: Mesh,
     *,
+    side_inputs: Pytree | None = None,
     micro_spec: P = P(),
     check_rep: bool = False,
 ) -> Pytree:
@@ -84,11 +85,21 @@ def pipeline_apply(
     Replicated to all stages (only stage 0 reads it); at the scales where
     pp matters, inputs are token ids — bytes are negligible vs weights.
 
+    side_inputs: optional pytree with leading microbatch dim M; when given,
+    stage_fn is called as ``stage_fn(stage_params, x, side)`` where every
+    stage receives the slice for the microbatch IT is currently processing
+    (tick t, stage s -> microbatch t-s). Use this for per-position data
+    that interior stages need (injection features, pad masks): unlike
+    riding it through the x pytree, side inputs never hop on ppermute.
+    Replicated across ``pipe``.
+
     micro_spec: PartitionSpec for the microbatch tree over the mesh's OTHER
     axes (dp x pp composition: e.g. P(None, "data") on a (pipe, data) mesh
     shards the per-microbatch batch dim over data replicas of every stage).
     Must not shard dim 0 (the microbatch dim — that is the pipe's time axis)
     and must not mention the pipe axis. Outputs use the same spec.
+    side_inputs are always replicated over the non-pipe axes (their batch
+    dim position may differ per leaf).
 
     Returns the stage-(S-1) outputs, (M, ...) per leaf, replicated across
     ``pipe`` (and sharded per ``micro_spec`` over the other axes).
@@ -104,7 +115,7 @@ def pipeline_apply(
     assert n_micro >= 1
     ticks = n_micro + n_pipe - 1
 
-    def run(params, xs):
+    def run(params, xs, sides):
         # params: this device's (1, ...) stage slice; drop the stage dim.
         params = jax.tree_util.tree_map(lambda p: p[0], params)
         stage = jax.lax.axis_index(PIPE_AXIS)
@@ -126,7 +137,19 @@ def pipeline_apply(
             x_in = jax.tree_util.tree_map(
                 lambda f, b: jnp.where(stage == 0, f, b), feed, buf
             )
-            y = stage_fn(params, x_in)
+            if sides is None:
+                y = stage_fn(params, x_in)
+            else:
+                # tick t, stage s computes microbatch t - s (clipped during
+                # warmup/drain ticks whose outputs are discarded anyway)
+                s_idx = jnp.clip(t - stage, 0, n_micro - 1)
+                side_t = jax.tree_util.tree_map(
+                    lambda x: jax.lax.dynamic_index_in_dim(
+                        x, s_idx, 0, keepdims=False
+                    ),
+                    sides,
+                )
+                y = stage_fn(params, x_in, side_t)
             buf_next = jax.lax.ppermute(y, PIPE_AXIS, perm)
             return buf_next, y
 
@@ -150,10 +173,18 @@ def pipeline_apply(
         # tick t delivers microbatch t-(S-1) out of the last stage
         return jax.tree_util.tree_map(lambda y: y[n_pipe - 1 :], ys)
 
+    if side_inputs is None:
+        return shard_map(
+            lambda p, xs: run(p, xs, None),
+            mesh=mesh,
+            in_specs=(P(PIPE_AXIS), micro_spec),
+            out_specs=micro_spec,
+            check_rep=check_rep,
+        )(stacked_params, micro_inputs)
     return shard_map(
         run,
         mesh=mesh,
-        in_specs=(P(PIPE_AXIS), micro_spec),
+        in_specs=(P(PIPE_AXIS), micro_spec, P()),
         out_specs=micro_spec,
         check_rep=check_rep,
-    )(stacked_params, micro_inputs)
+    )(stacked_params, micro_inputs, side_inputs)
