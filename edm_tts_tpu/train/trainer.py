@@ -67,6 +67,10 @@ class TrainingArguments:
     # tensor-parallel axis size (megatron-sharded conformer matmuls,
     # parallel/mesh.py::_tp_spec_for); 1 = off
     n_model: int = 1
+    # sequence-parallel (ring attention) axis size; >1 adds a `sequence`
+    # mesh axis and requires the model be built with
+    # attn_implementation="ring" (ops/ring_attention.py); 1 = off
+    n_seq: int = 1
     # remote experiment trackers: "module.path:factory" specs (wandb analog,
     # reference report_to — see utils/logging.py Tracker)
     trackers: tuple[str, ...] = ()
@@ -107,7 +111,7 @@ class Trainer:
     ):
         self.args = args
         self.mesh = mesh if mesh is not None else make_mesh(
-            n_fsdp=args.n_fsdp, n_model=args.n_model
+            n_fsdp=args.n_fsdp, n_model=args.n_model, n_seq=args.n_seq
         )
         schedule = warmup_cosine_schedule(
             args.learning_rate, args.warmup_steps, args.max_steps
@@ -251,7 +255,9 @@ class Trainer:
             batch = next(train_iter)
             batch = jax.device_put(batch, self._batch_sharding)
             step_rng = jax.random.fold_in(rng, step)
-            with jax.profiler.StepTraceAnnotation("train", step_num=step):
+            # trace/run under the mesh context so mesh-resolving ops
+            # (ring attention) see it at trace time
+            with jax.profiler.StepTraceAnnotation("train", step_num=step), self.mesh:
                 self.state, metrics = self._train_step(self.state, batch, step_rng)
 
             if (step + 1) % args.logging_steps == 0:
@@ -293,7 +299,8 @@ class Trainer:
         n = 0
         for batch in eval_iter:
             batch = jax.device_put(batch, self._batch_sharding)
-            out = jax.device_get(self.eval_fn(self.state.params, batch))
+            with self.mesh:
+                out = jax.device_get(self.eval_fn(self.state.params, batch))
             for k, v in out.items():
                 totals[k] = totals.get(k, 0.0) + float(v)
             n += 1

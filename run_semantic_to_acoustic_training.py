@@ -103,6 +103,8 @@ def main():
         overwrite_output_dir=raw.get("overwrite_output_dir", False),
         n_fsdp=raw.get("n_fsdp", 1),
         micro_batches=raw.get("micro_batches", 1),
+        n_model=raw.get("n_model", 1),
+        n_seq=raw.get("n_seq", 1),
     )
 
     import jax.numpy as _jnp

@@ -69,6 +69,8 @@ def main():
         resume_from_checkpoint=raw.get("resume_from_checkpoint"),
         overwrite_output_dir=raw.get("overwrite_output_dir", False),
         n_fsdp=raw.get("n_fsdp", 1),
+        n_model=raw.get("n_model", 1),
+        n_seq=raw.get("n_seq", 1),
     )
 
     import jax.numpy as _jnp

@@ -80,6 +80,79 @@ def test_s2a_training_forward_ring_matches_single_device():
     np.testing.assert_allclose(float(loss), float(ref), rtol=1e-5)
 
 
+def test_trainer_n_seq_matches_default_mesh(tmp_path):
+    """Full Trainer runs (loss -> grads -> AdamW, 3 steps) on a
+    (data=4, sequence=2) mesh with the ring-attention s2a model end in
+    exactly the same parameters as the default data-parallel mesh with
+    auto attention — SP is usable straight from TrainingArguments.n_seq
+    (and the run_*.py YAML key)."""
+    from edm_tts_tpu.train.trainer import Trainer, TrainingArguments
+
+    b, t = 8, 16
+    cfg = S2AConfig(**S2A_TINY)
+    rng = jax.random.PRNGKey(0)
+
+    def batches():
+        k = jax.random.PRNGKey(7)
+        while True:
+            k, k1, k2 = jax.random.split(k, 3)
+            yield {
+                "ac": jax.random.randint(
+                    k1, (b, cfg.num_quantizers, t), 0, cfg.codec.codebook_size
+                ),
+                "sem": jax.random.randint(k2, (b, t), 0, cfg.num_semantic_tokens),
+            }
+
+    # params are implementation-independent: init once (auto) and share
+    init_model = InjectionConformer(cfg)
+    init_params = jax.jit(
+        lambda r: init_model.init(
+            r,
+            jnp.zeros((1, cfg.num_quantizers, 8), jnp.int32),
+            jnp.zeros((1, 8), jnp.int32),
+            mask_rng=r,
+            train=False,
+        )
+    )(rng)
+
+    def run(attn_impl, n_seq, out):
+        model = InjectionConformer(
+            dataclasses.replace(cfg, attn_implementation=attn_impl)
+        )
+        # fresh buffers: the jitted step donates the state, and device_put
+        # onto a matching sharding aliases rather than copies
+        params = jax.tree_util.tree_map(
+            lambda x: jnp.array(x, copy=True), init_params
+        )
+
+        def loss_fn(p, batch, step_rng):
+            o = model.apply(
+                p, batch["ac"], batch["sem"], mask_rng=step_rng, train=False
+            )
+            return o["loss"], {}
+
+        args = TrainingArguments(
+            output_dir=str(tmp_path / out),
+            max_steps=3,
+            warmup_steps=1,
+            logging_steps=1000,
+            save_steps=10_000,
+            overwrite_output_dir=True,
+            n_seq=n_seq,
+        )
+        trainer = Trainer(args, loss_fn, params)
+        return trainer.train(batches())
+
+    s_ref = run("auto", 1, "ref")
+    s_ring = run("ring", 2, "ring")
+    flat_ref, _ = jax.tree_util.tree_flatten(s_ref.params)
+    flat, _ = jax.tree_util.tree_flatten(s_ring.params)
+    for a, b_ in zip(flat, flat_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=1e-5, rtol=1e-5
+        )
+
+
 def test_t2s_training_forward_ring_matches_single_device():
     b, l, lt = 2, 24, 7  # lenpred runs at lt+1=8: both divisible by n_seq=4
     cfg = T2SConfig(**T2S_TINY)
