@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from edm_tts_tpu.ops import apply_rope, conv1d, mha, rope_frequencies
+from edm_tts_tpu.ops.qdense import QDense
 
 Array = jax.Array
 
@@ -41,6 +42,10 @@ class ConformerConfig:
     ff_dropout: float = 0.0
     conv_dropout: float = 0.0
     attn_implementation: str = "auto"
+    # "none" | "int8": weight-only int8 matmuls (in-VMEM dequant Pallas
+    # kernel, ops/qdense.py) for the memory-bound batch-1 sampler path.
+    # Inference-only serving mode; params come from models/quantize.py.
+    quantize: str = "none"
     remat: bool = False  # gradient checkpointing (reference conformer.py:220-230 hooks)
     # remat policy (ignored unless remat; see _remat_policy below):
     # "full" recomputes the whole block in the backward; "dots" saves matmul
@@ -99,13 +104,18 @@ class FeedForward(nn.Module):
     mult: int
     dropout: float
     dtype: Any = jnp.float32
+    quantize: str = "none"
 
     @nn.compact
     def __call__(self, x: Array, *, train: bool = False) -> Array:
-        x = nn.Dense(self.dim * self.mult, dtype=self.dtype)(x)
+        # QDense with explicit nn.Dense auto-names keeps param paths
+        # (Dense_0/Dense_1) checkpoint-identical to the original layers.
+        x = QDense(self.dim * self.mult, dtype=self.dtype,
+                   quantize=self.quantize, name="Dense_0")(x)
         x = x * jax.nn.sigmoid(x)  # Swish
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        x = nn.Dense(self.dim, dtype=self.dtype)(x)
+        x = QDense(self.dim, dtype=self.dtype, quantize=self.quantize,
+                   name="Dense_1")(x)
         return nn.Dropout(self.dropout, deterministic=not train)(x)
 
 
@@ -116,6 +126,7 @@ class Attention(nn.Module):
     dropout: float
     implementation: str = "xla"
     dtype: Any = jnp.float32
+    quantize: str = "none"
 
     @nn.compact
     def __call__(
@@ -129,8 +140,10 @@ class Attention(nn.Module):
     ) -> Array:
         b, t, _ = x.shape
         inner = self.heads * self.dim_head
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        kv = nn.Dense(2 * inner, use_bias=False, dtype=self.dtype, name="to_kv")(x)
+        q = QDense(inner, use_bias=False, dtype=self.dtype,
+                   quantize=self.quantize, name="to_q")(x)
+        kv = QDense(2 * inner, use_bias=False, dtype=self.dtype,
+                    quantize=self.quantize, name="to_kv")(x)
         k, v = jnp.split(kv, 2, axis=-1)
         q = q.reshape(b, t, self.heads, self.dim_head)
         k = k.reshape(b, t, self.heads, self.dim_head)
@@ -151,7 +164,8 @@ class Attention(nn.Module):
         else:
             out = mha(q, k, v, mask=mask, implementation=self.implementation)
         out = out.reshape(b, t, inner)
-        out = nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
+        out = QDense(self.dim, dtype=self.dtype, quantize=self.quantize,
+                     name="to_out")(out)
         return (out, attn) if return_attn else out
 
 
@@ -175,6 +189,7 @@ class ConvModule(nn.Module):
     kernel_size: int
     dropout: float
     dtype: Any = jnp.float32
+    quantize: str = "none"
 
     @nn.compact
     def __call__(
@@ -183,7 +198,8 @@ class ConvModule(nn.Module):
         inner = self.dim * self.expansion_factor
         k = self.kernel_size
         x = nn.LayerNorm(dtype=self.dtype)(x)
-        x = nn.Dense(2 * inner, dtype=self.dtype, name="pw_in")(x)
+        x = QDense(2 * inner, dtype=self.dtype, quantize=self.quantize,
+                   name="pw_in")(x)
         gate, val = x[..., inner:], x[..., :inner]
         x = val * jax.nn.sigmoid(gate)  # GLU (torch chunks: first half = out)
         if pad_mask is not None:
@@ -206,7 +222,8 @@ class ConvModule(nn.Module):
         )
         x = x * jax.nn.sigmoid(x)  # Swish
         x = ChanLayerNorm()(x)
-        x = nn.Dense(self.dim, dtype=self.dtype, name="pw_out")(x)
+        x = QDense(self.dim, dtype=self.dtype, quantize=self.quantize,
+                   name="pw_out")(x)
         return nn.Dropout(self.dropout, deterministic=not train)(x)
 
 
@@ -227,10 +244,12 @@ class ConformerBlock(nn.Module):
     ) -> Array:
         c = self.cfg
         x = x + 0.5 * FeedForward(c.dim, c.ff_mult, c.ff_dropout, self.dtype,
+                                  quantize=c.quantize,
                                   name="ff1")(nn.LayerNorm(dtype=self.dtype)(x), train=train)
         attn_out = Attention(
             c.dim, c.heads, c.dim_head, c.attn_dropout,
-            implementation=c.attn_implementation, dtype=self.dtype, name="attn",
+            implementation=c.attn_implementation, dtype=self.dtype,
+            quantize=c.quantize, name="attn",
         )(nn.LayerNorm(dtype=self.dtype)(x), rope=rope, mask=mask, train=train,
           return_attn=return_attn)
         attn_weights = None
@@ -239,9 +258,10 @@ class ConformerBlock(nn.Module):
         x = x + attn_out
         x = x + ConvModule(
             c.dim, c.conv_expansion_factor, c.conv_kernel_size, c.conv_dropout,
-            self.dtype, name="conv",
+            self.dtype, quantize=c.quantize, name="conv",
         )(x, pad_mask=conv_pad_mask, train=train)
         x = x + 0.5 * FeedForward(c.dim, c.ff_mult, c.ff_dropout, self.dtype,
+                                  quantize=c.quantize,
                                   name="ff2")(nn.LayerNorm(dtype=self.dtype)(x), train=train)
         x = nn.LayerNorm(dtype=self.dtype, name="post_norm")(x)
         return (x, attn_weights) if return_attn else x

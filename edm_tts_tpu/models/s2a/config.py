@@ -40,6 +40,9 @@ class S2AConfig:
     # "auto" | "xla" | "pallas" | "ring" (sequence-parallel attention over
     # the ambient mesh's `sequence` axis; see ops/ring_attention.py)
     attn_implementation: str = "auto"
+    # "none" | "int8": weight-only int8 matmuls for serving (ops/qdense.py;
+    # params converted offline by models/quantize.py). Inference-only.
+    quantize: str = "none"
     codec: CodecConfig = dataclasses.field(default_factory=CodecConfig)
 
     @property
@@ -56,6 +59,7 @@ class S2AConfig:
             conv_dropout=self.encoder_conv_dropout,
             remat=self.gradient_checkpointing,
             attn_implementation=self.attn_implementation,
+            quantize=self.quantize,
         )
 
     @property

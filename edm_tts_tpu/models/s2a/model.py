@@ -38,6 +38,7 @@ from edm_tts_tpu.ops import (
     masked_cross_entropy,
     rope_frequencies,
 )
+from edm_tts_tpu.ops.qdense import QDense
 
 Array = jax.Array
 
@@ -76,7 +77,9 @@ class InjectionConformer(nn.Module):
             for i in range(len(cfg.injection_layers))
         ]
         self.remaining_quantizers = cfg.num_quantizers - len(cfg.injection_layers)
-        self.fine_head = nn.Dense(h * self.remaining_quantizers, dtype=self.dtype)
+        self.fine_head = QDense(
+            h * self.remaining_quantizers, dtype=self.dtype, quantize=cfg.quantize
+        )
         self.logits_norm = nn.LayerNorm(dtype=self.dtype)
         self.logits_w = self.param(
             "logits_w",

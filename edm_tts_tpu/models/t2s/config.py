@@ -51,6 +51,9 @@ class T2SConfig:
     # "auto" | "xla" | "pallas" | "ring" (sequence-parallel attention over
     # the ambient mesh's `sequence` axis; see ops/ring_attention.py)
     attn_implementation: str = "auto"
+    # "none" | "int8": weight-only int8 matmuls for serving (ops/qdense.py;
+    # params converted offline by models/quantize.py). Inference-only.
+    quantize: str = "none"
 
     @property
     def num_special_tokens(self) -> int:
@@ -81,6 +84,7 @@ class T2SConfig:
             remat=self.gradient_checkpointing,
             remat_policy=self.remat_policy,
             attn_implementation=self.attn_implementation,
+            quantize=self.quantize,
         )
 
     @property
@@ -97,6 +101,7 @@ class T2SConfig:
             ff_dropout=self.length_predictor_ff_dropout,
             conv_dropout=self.length_predictor_conv_dropout,
             attn_implementation=self.attn_implementation,
+            quantize=self.quantize,
         )
 
     def to_json(self) -> str:

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from edm_tts_tpu.models.conformer.conformer import Conformer
 from edm_tts_tpu.models.t2s.config import SPECIAL_TOKENS, T2SConfig
 from edm_tts_tpu.ops import embed_take, masked_cross_entropy
+from edm_tts_tpu.ops.qdense import QDense
 
 Array = jax.Array
 
@@ -52,9 +53,13 @@ class TextToSemantic(nn.Module):
         self.length_predictor = Conformer(
             cfg.length_predictor_config, dtype=self.dtype
         )
-        self.pred_dense = nn.Dense(cfg.hidden_size, dtype=self.dtype)
+        self.pred_dense = QDense(
+            cfg.hidden_size, dtype=self.dtype, quantize=cfg.quantize
+        )
         self.pred_norm = nn.LayerNorm(dtype=self.dtype)
-        self.pred_head = nn.Dense(cfg.semantic_vocab_size, dtype=self.dtype)
+        self.pred_head = QDense(
+            cfg.semantic_vocab_size, dtype=self.dtype, quantize=cfg.quantize
+        )
         self.length_pred_head = nn.Dense(1, dtype=self.dtype)
 
     # -- embedding (padding_idx=0 parity) ------------------------------------

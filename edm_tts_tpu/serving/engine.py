@@ -45,6 +45,9 @@ class TTSEngine:
         hubert_model: str,
         *,
         dtype=jnp.bfloat16,
+        quantize: str = "none",
+        quantize_t2s: str | None = None,
+        quantize_s2a: str | None = None,
         **opts,
     ):
         from edm_tts_tpu.utils.hub import (
@@ -56,8 +59,12 @@ class TTSEngine:
         tokenizer, codec_params, sem_params = build_audio_tokenizer(
             codec_model, hubert_model, dtype=dtype
         )
-        s2a, s2a_params = load_s2a(s2a_model, dtype=dtype)
-        t2s, t2s_params = load_t2s(t2s_model, dtype=dtype)
+        s2a, s2a_params = load_s2a(
+            s2a_model, dtype=dtype, quantize=quantize_s2a or quantize
+        )
+        t2s, t2s_params = load_t2s(
+            t2s_model, dtype=dtype, quantize=quantize_t2s or quantize
+        )
         self._setup(tokenizer, codec_params, sem_params, s2a, s2a_params,
                     t2s, t2s_params, **opts)
 

@@ -47,7 +47,9 @@ def save_s2a(path: str, model: InjectionConformer, params) -> None:
     export_model(path, params, model.cfg.to_json())
 
 
-def load_s2a(path: str, dtype=jnp.float32) -> tuple[InjectionConformer, dict]:
+def load_s2a(
+    path: str, dtype=jnp.float32, quantize: str = "none"
+) -> tuple[InjectionConformer, dict]:
     cfg = S2AConfig.from_dict(_read_config(path))
     model = InjectionConformer(cfg, dtype=dtype)
     template = jax.eval_shape(
@@ -70,6 +72,10 @@ def load_s2a(path: str, dtype=jnp.float32) -> tuple[InjectionConformer, dict]:
     )
     template["params"]["codec"] = codec_template["params"]
     params = load_model_params(path, template)
+    if quantize != "none":
+        from edm_tts_tpu.models.quantize import quantize_s2a
+
+        model, params = quantize_s2a(model, params, mode=quantize)
     return model, params
 
 
@@ -77,7 +83,9 @@ def save_t2s(path: str, model: TextToSemantic, params) -> None:
     export_model(path, params, model.cfg.to_json())
 
 
-def load_t2s(path: str, dtype=jnp.float32) -> tuple[TextToSemantic, dict]:
+def load_t2s(
+    path: str, dtype=jnp.float32, quantize: str = "none"
+) -> tuple[TextToSemantic, dict]:
     cfg = T2SConfig.from_dict(_read_config(path))
     model = TextToSemantic(cfg, dtype=dtype)
     b, l, lt = 1, 16, 4
@@ -95,6 +103,10 @@ def load_t2s(path: str, dtype=jnp.float32) -> tuple[TextToSemantic, dict]:
         )
     )
     params = load_model_params(path, template)
+    if quantize != "none":
+        from edm_tts_tpu.models.quantize import quantize_t2s
+
+        model, params = quantize_t2s(model, params, mode=quantize)
     return model, params
 
 

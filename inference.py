@@ -43,6 +43,21 @@ def main():
                     help="override the predicted speech length (tokens)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    ap.add_argument("--quantize", default="none",
+                    choices=["none", "int8", "w8a8"],
+                    help="int8 t2s/s2a matmuls: 'int8' = weight-only "
+                         "(in-VMEM dequant Pallas kernel, halves weight "
+                         "memory), 'w8a8' = dynamic activation quant + "
+                         "native s8xs8 MXU dot (measured -25%% on the "
+                         "batch-1 s2a stage; see benchmarks/README.md)")
+    ap.add_argument("--quantize_t2s", default=None,
+                    choices=["none", "int8", "w8a8"],
+                    help="per-stage override of --quantize for t2s "
+                         "(measured best: t2s stays bf16)")
+    ap.add_argument("--quantize_s2a", default=None,
+                    choices=["none", "int8", "w8a8"],
+                    help="per-stage override of --quantize for s2a "
+                         "(measured best at batch 1: w8a8)")
     ap.add_argument("--one_shot", action="store_true",
                     help="fuse t2s->s2a->decode into ONE jitted device "
                          "program on a fixed max_speech_len canvas (no host "
@@ -61,8 +76,14 @@ def main():
     tokenizer, codec_params, sem_params = build_audio_tokenizer(
         args.codec_model, args.hubert_model, dtype=dtype
     )
-    s2a_model, s2a_params = load_s2a(args.s2a_model, dtype=dtype)
-    t2s_model, t2s_params = load_t2s(args.t2s_model, dtype=dtype)
+    s2a_model, s2a_params = load_s2a(
+        args.s2a_model, dtype=dtype,
+        quantize=args.quantize_s2a or args.quantize,
+    )
+    t2s_model, t2s_params = load_t2s(
+        args.t2s_model, dtype=dtype,
+        quantize=args.quantize_t2s or args.quantize,
+    )
 
     # 1. tokenize the speaker prompt
     audio, sr = load_audio(args.speaker_prompt)

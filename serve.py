@@ -25,6 +25,9 @@ def build_server(args):
     engine = TTSEngine(
         args.codec_model, args.t2s_model, args.s2a_model, args.hubert_model,
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
+        quantize=args.quantize,
+        quantize_t2s=args.quantize_t2s,
+        quantize_s2a=args.quantize_s2a,
         pred_iters=args.pred_iters,
         s2a_steps=args.s2a_steps,
         temperature=args.temperature,
@@ -60,6 +63,17 @@ def main():
     ap.add_argument("--max_speech_len", type=int, default=1250)
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
+    ap.add_argument("--quantize", default="none",
+                    choices=["none", "int8", "w8a8"],
+                    help="int8 t2s/s2a matmuls for serving ('int8' = "
+                         "weight-only halved weight memory, 'w8a8' = native "
+                         "s8xs8 MXU dot, -25%% on the batch-1 s2a stage)")
+    ap.add_argument("--quantize_t2s", default=None,
+                    choices=["none", "int8", "w8a8"],
+                    help="per-stage override (measured best: t2s bf16)")
+    ap.add_argument("--quantize_s2a", default=None,
+                    choices=["none", "int8", "w8a8"],
+                    help="per-stage override (measured best at batch 1: w8a8)")
     args = ap.parse_args()
 
     server = build_server(args)
