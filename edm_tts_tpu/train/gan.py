@@ -17,6 +17,7 @@ from typing import Any, Mapping
 
 import jax
 import jax.numpy as jnp
+import optax
 from flax.training import train_state
 
 from edm_tts_tpu.models.codec.losses import (
@@ -40,8 +41,25 @@ class TrainState(train_state.TrainState):
     pass
 
 
+def _guarded_apply(state: TrainState, grads):
+    """apply_gradients fenced on grad finiteness: a non-finite gradient
+    keeps params/opt-state float leaves while integer leaves (step AND the
+    optax counts — the ExponentialLR schedule reads the optax count) still
+    advance, so the schedule stays on time. Returns (new_state, skipped)."""
+    finite = jnp.isfinite(optax.global_norm(grads))
+    updated = state.apply_gradients(grads=grads)
+    new_state = jax.tree_util.tree_map(
+        lambda old, new: new
+        if jnp.issubdtype(jnp.asarray(new).dtype, jnp.integer)
+        else jnp.where(finite, new, old),
+        state,
+        updated,
+    )
+    return new_state, 1.0 - finite.astype(jnp.float32)
+
+
 @functools.partial(
-    jax.jit, static_argnums=(0, 1, 2), donate_argnums=(3, 4)
+    jax.jit, static_argnums=(0, 1, 2, 8), donate_argnums=(3, 4)
 )
 def gan_train_step(
     codec,  # Codec module (static)
@@ -52,8 +70,13 @@ def gan_train_step(
     audio: Array,
     rng: Array,
     lambdas: Mapping[str, float] | None = None,
+    skip_nonfinite: bool = False,  # static
 ):
-    """One G+D update. ``audio``: (B, T, 1). Returns (g_state, d_state, metrics)."""
+    """One G+D update. ``audio``: (B, T, 1). Returns (g_state, d_state, metrics).
+
+    ``skip_nonfinite``: fence BOTH optimizer updates on their gradient
+    norms being finite (adversarial training hardening the reference lacks;
+    skips surface as metrics["skipped_nonfinite"])."""
     lambdas = dict(lambdas or DEFAULT_LAMBDAS)
     q_rng, _ = jax.random.split(rng)
 
@@ -66,7 +89,10 @@ def gan_train_step(
         return discriminator_loss(d_fake, d_real)
 
     d_loss, d_grads = jax.value_and_grad(d_loss_fn)(d_state.params)
-    d_state = d_state.apply_gradients(grads=d_grads)
+    if skip_nonfinite:
+        d_state, d_skipped = _guarded_apply(d_state, d_grads)
+    else:
+        d_state = d_state.apply_gradients(grads=d_grads)
 
     # --- generator step against the updated discriminator ---
     def g_loss_fn(g_params):
@@ -89,7 +115,11 @@ def gan_train_step(
     (_, metrics), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
         g_state.params
     )
-    g_state = g_state.apply_gradients(grads=g_grads)
+    if skip_nonfinite:
+        g_state, g_skipped = _guarded_apply(g_state, g_grads)
+        metrics["skipped_nonfinite"] = jnp.maximum(d_skipped, g_skipped)
+    else:
+        g_state = g_state.apply_gradients(grads=g_grads)
     metrics["adv/disc_loss"] = d_loss
     return g_state, d_state, metrics
 

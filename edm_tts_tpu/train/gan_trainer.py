@@ -50,6 +50,11 @@ class GANTrainingArguments:
     num_samples_to_log: int = 4
     # remote experiment trackers: "module.path:factory" specs (wandb analog)
     trackers: tuple[str, ...] = ()
+    # Fence G and D optimizer updates on finite gradient norms (one corrupt
+    # batch or an adversarial-loss blowup cannot poison either state; skips
+    # surface as metrics["skipped_nonfinite"]). Off by default for recipe
+    # parity — the reference has no such guard.
+    skip_nonfinite_updates: bool = False
 
 
 class GANTrainer:
@@ -149,6 +154,7 @@ class GANTrainer:
                 self.g_state, self.d_state, metrics = gan_train_step(
                 self.codec, self.disc, self.recon_loss,
                 self.g_state, self.d_state, audio, step_rng, self.lambdas,
+                args.skip_nonfinite_updates,
             )
             if (step + 1) % args.logging_steps == 0:
                 m = {k: float(v) for k, v in jax.device_get(metrics).items()}

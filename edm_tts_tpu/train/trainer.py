@@ -74,6 +74,13 @@ class TrainingArguments:
     # remote experiment trackers: "module.path:factory" specs (wandb analog,
     # reference report_to — see utils/logging.py Tracker)
     trackers: tuple[str, ...] = ()
+    # Skip the optimizer update when the gradient norm is non-finite (one
+    # corrupt batch cannot poison params/opt-state); the step counter still
+    # advances so the LR schedule stays on time, and the skip is surfaced
+    # as metrics["skipped_nonfinite"]. Default off for recipe parity: the
+    # reference (HF Trainer + DeepSpeed bf16, configs/ds_config.json) has
+    # no such guard.
+    skip_nonfinite_updates: bool = False
 
     def time_limit_seconds(self) -> float | None:
         if not self.time_limit:
@@ -142,6 +149,30 @@ class Trainer:
 
         n_micro = max(1, args.micro_batches)
 
+        def guarded_apply(state, grads, metrics):
+            """apply_gradients, optionally fenced on grad-norm finiteness."""
+            grad_norm = optax.global_norm(grads)
+            metrics["grad_norm"] = grad_norm
+            if not args.skip_nonfinite_updates:
+                return state.apply_gradients(grads=grads), metrics
+            finite = jnp.isfinite(grad_norm)
+            # Always run the update, then select per leaf: integer leaves
+            # (TrainState.step AND the optax counts inside opt_state — the
+            # LR schedule reads the optax count, not state.step) advance
+            # even on a skip so the schedule stays on time; float leaves
+            # (params, mu/nu) keep their old values when the grad norm is
+            # non-finite. `where` never propagates the NaN side it discards.
+            updated = state.apply_gradients(grads=grads)
+            new_state = jax.tree_util.tree_map(
+                lambda old, new: new
+                if jnp.issubdtype(jnp.asarray(new).dtype, jnp.integer)
+                else jnp.where(finite, new, old),
+                state,
+                updated,
+            )
+            metrics["skipped_nonfinite"] = 1.0 - finite.astype(jnp.float32)
+            return new_state, metrics
+
         def train_step(state: TrainState, batch, rng):
             def wrapped(params):
                 loss, metrics = self.loss_fn(params, batch, rng)
@@ -151,9 +182,8 @@ class Trainer:
                 state.params
             )
             metrics.pop("loss_weight", None)
-            new_state = state.apply_gradients(grads=grads)
             metrics["loss"] = loss
-            metrics["grad_norm"] = optax.global_norm(grads)
+            new_state, metrics = guarded_apply(state, grads, metrics)
             return new_state, metrics
 
         def accum_train_step(state: TrainState, batch, rng):
@@ -200,12 +230,11 @@ class Trainer:
             g_sum, (stacked, w) = jax.lax.scan(body, g0, (micro, rngs))
             w_sum = jnp.sum(w)
             grads = jax.tree_util.tree_map(lambda x: x / w_sum, g_sum)
-            new_state = state.apply_gradients(grads=grads)
             metrics = {
                 k: jnp.sum(w * v.astype(jnp.float32)) / w_sum
                 for k, v in stacked.items()
             }
-            metrics["grad_norm"] = optax.global_norm(grads)
+            new_state, metrics = guarded_apply(state, grads, metrics)
             return new_state, metrics
 
         self._train_step = jax.jit(

@@ -106,6 +106,7 @@ def main():
         gen_betas=tuple(raw.get("gen_optimizer_args", {}).get("betas", (0.8, 0.99))),
         disc_betas=tuple(raw.get("disc_optimizer_args", {}).get("betas", (0.8, 0.99))),
         scheduler_gamma=raw.get("gen_scheduler_args", {}).get("gamma", 0.999996),
+        skip_nonfinite_updates=raw.get("skip_nonfinite_updates", False),
     )
     data_args = DataArguments(
         data_dir=raw.get("dataset_args", {}).get("data_dir", "data"),

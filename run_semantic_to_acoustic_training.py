@@ -105,6 +105,7 @@ def main():
         micro_batches=raw.get("micro_batches", 1),
         n_model=raw.get("n_model", 1),
         n_seq=raw.get("n_seq", 1),
+        skip_nonfinite_updates=raw.get("skip_nonfinite_updates", False),
     )
 
     import jax.numpy as _jnp

@@ -71,6 +71,7 @@ def main():
         n_fsdp=raw.get("n_fsdp", 1),
         n_model=raw.get("n_model", 1),
         n_seq=raw.get("n_seq", 1),
+        skip_nonfinite_updates=raw.get("skip_nonfinite_updates", False),
     )
 
     import jax.numpy as _jnp

@@ -359,6 +359,76 @@ def test_engine_dp_mesh_matches_single_device():
 
 
 @pytest.mark.slow
+def test_engine_dp_mesh_quantized_matches_single_device():
+    """Quantized serving composes with multi-chip DP serving: int8
+    param leaves (kernel_q int8 + kernel_scale f32, models/quantize.py)
+    replicate over the mesh like float leaves and the w8a8 engine on a
+    (data=4) mesh produces the same audio as the single-device w8a8
+    engine."""
+    from test_e2e import TINY_CODEC, TINY_S2A, TINY_T2S
+    from edm_tts_tpu.models.codec import Codec
+    from edm_tts_tpu.models.quantize import quantize_s2a, quantize_t2s
+    from edm_tts_tpu.models.s2a import InjectionConformer
+    from edm_tts_tpu.models.t2s import TextToSemantic
+    from edm_tts_tpu.models.tokenizer.audio_tokenizer import AudioTokenizer
+    from edm_tts_tpu.parallel.mesh import make_mesh
+
+    rng = jax.random.PRNGKey(0)
+    codec = Codec(TINY_CODEC)
+    codec_params = jax.jit(codec.init)(rng, jnp.zeros((1, 640, 1)))
+    s2a = InjectionConformer(TINY_S2A)
+    s2a_params = jax.jit(
+        lambda r: s2a.init(
+            r, jnp.zeros((1, 4, 8), jnp.int32), jnp.zeros((1, 8), jnp.int32),
+            mask_rng=r, train=False,
+        )
+    )(rng)
+    s2a_params = {
+        "params": {**s2a_params["params"], "codec": codec_params["params"]}
+    }
+    t2s = TextToSemantic(TINY_T2S)
+    t2s_params = jax.jit(
+        lambda r: t2s.init(
+            r, jnp.zeros((1, 16), jnp.int32), jnp.ones((1, 16), bool),
+            jnp.zeros((1, 16), bool), jnp.zeros((1, 4), jnp.int32),
+            jnp.ones((1, 4), bool), jnp.ones((1,)),
+            mask_rng=r, train=False,
+        )
+    )(rng)
+    s2a_q, s2a_qparams = quantize_s2a(s2a, s2a_params, mode="w8a8")
+    t2s_q, t2s_qparams = quantize_t2s(t2s, t2s_params, mode="w8a8")
+    # the quantized tree really carries int8 leaves into the engine
+    assert any(
+        leaf.dtype == jnp.int8
+        for leaf in jax.tree_util.tree_leaves(s2a_qparams)
+    )
+
+    def build(mesh):
+        eng = TTSEngine.from_models(
+            AudioTokenizer(codec, None), codec_params, None,
+            s2a_q, s2a_qparams, t2s_q, t2s_qparams,
+            pred_iters=2, s2a_steps=2, max_speech_len=16, text_bucket=8,
+            length_bucket=8, batch_buckets=(4,), mesh=mesh,
+        )
+        k1, k2 = jax.random.split(rng)
+        eng.register_speaker_codes(
+            "p",
+            jax.random.randint(k1, (1, 4, 10), 0, TINY_CODEC.codebook_size),
+            jax.random.randint(k2, (1, 10), 0, TINY_S2A.num_semantic_tokens),
+        )
+        return eng
+
+    texts = ["hello", "hey there"]
+    gt = [8, 12]
+    w1 = build(None).synthesize(texts, "p", seed=5, gt_lengths=gt)
+    mesh = make_mesh(4, 1, devices=jax.devices()[:4])
+    w4 = build(mesh).synthesize(texts, "p", seed=5, gt_lengths=gt)
+    for a, b in zip(w1, w4):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.slow
 def test_engine_with_batcher_end_to_end(tiny_engine):
     b = DynamicBatcher(tiny_engine.synthesize, max_batch=4, max_wait_ms=100)
     futs = [
