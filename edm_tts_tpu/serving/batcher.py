@@ -130,20 +130,22 @@ class DynamicBatcher:
                 if self._closed.is_set():
                     return
                 continue
-            # one engine call per (speaker, seed) group: a batch shares one
-            # prompt and one PRNG key
-            groups: dict[tuple[str, int], list] = {}
+            # one engine call per (speaker, seed, has-gt-length) group: a
+            # batch shares one prompt and one PRNG key, and gt_lengths is
+            # all-or-nothing per engine call — splitting on it keeps a mixed
+            # batch from silently discarding a request's explicit length
+            groups: dict[tuple[str, int, bool], list] = {}
             for item in batch:
                 req = item[0]
-                groups.setdefault((req.speaker, req.seed), []).append(item)
-            for (speaker, seed), items in groups.items():
+                key = (req.speaker, req.seed, req.gt_length is not None)
+                groups.setdefault(key, []).append(item)
+            for (speaker, seed, has_gt), items in groups.items():
                 reqs = [r for r, _, _ in items]
                 futs = [f for _, f, _ in items]
                 t0s = [t for _, _, t in items]
-                gt = [r.gt_length for r in reqs]
                 kwargs = {"seed": seed}
-                if all(g is not None for g in gt):
-                    kwargs["gt_lengths"] = gt
+                if has_gt:
+                    kwargs["gt_lengths"] = [r.gt_length for r in reqs]
                 try:
                     wavs = self._synth(
                         [r.text for r in reqs], speaker, **kwargs

@@ -45,11 +45,12 @@ class TTSEngine:
         hubert_model: str,
         *,
         dtype=jnp.bfloat16,
-        quantize: str = "none",
+        quantize: str | None = "none",
         quantize_t2s: str | None = None,
         quantize_s2a: str | None = None,
         **opts,
     ):
+        quantize = quantize or "none"
         from edm_tts_tpu.utils.hub import (
             build_audio_tokenizer,
             load_s2a,

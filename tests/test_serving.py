@@ -66,6 +66,36 @@ def test_batcher_coalesces_and_groups():
     assert spk1_call[0] == ("a", "b")
 
 
+def test_batcher_splits_mixed_gt_lengths():
+    """A window mixing explicit-gt_length and predicted-length requests
+    splits into two engine calls — the explicit lengths are honored, not
+    silently dropped (gt_lengths is all-or-nothing per call)."""
+    seen = []
+
+    def synth(texts, speaker, *, seed=0, gt_lengths=None):
+        seen.append((tuple(texts), gt_lengths))
+        return [f"{t}:{g}" for t, g in zip(
+            texts, gt_lengths or [None] * len(texts)
+        )]
+
+    b = DynamicBatcher(synth, max_batch=8, max_wait_ms=200)
+    f1 = b.submit(Request("a", "s", gt_length=50))
+    f2 = b.submit(Request("b", "s"))
+    f3 = b.submit(Request("c", "s", gt_length=70))
+    assert f1.result(10) == "a:50"
+    assert f2.result(10) == "b:None"
+    assert f3.result(10) == "c:70"
+    b.close()
+    # every engine call is all-or-nothing on gt_lengths, and both explicit
+    # lengths reached the engine (regardless of window composition)
+    assert all(
+        g is None or all(x is not None for x in g) for _, g in seen
+    )
+    assert sorted(
+        x for _, g in seen if g is not None for x in g
+    ) == [50, 70]
+
+
 def test_batcher_respects_max_batch():
     synth = _FakeSynth()
     synth.block.clear()
@@ -208,7 +238,8 @@ def test_serve_cli_build(tiny_model_dirs):
         s2a_model=str(tmp / "s2a"), hubert_model=str(tmp / "hubert"),
         speaker=None, host="127.0.0.1", port=0, max_batch=4,
         max_wait_ms=10.0, pred_iters=2, s2a_steps=2, temperature=1.0,
-        max_speech_len=16, dtype="float32",
+        max_speech_len=16, dtype="float32", quantize="none",
+        quantize_t2s=None, quantize_s2a=None,
     )
     srv = serve.build_server(args).start()
     try:
