@@ -246,3 +246,46 @@ class TTSEngine:
         return [
             audio[i, : int(lengths[i]) * ds, 0] for i in range(b_real)
         ]
+
+    def synthesize_long(
+        self,
+        text: str,
+        speaker: str,
+        *,
+        seed: int = 0,
+        max_chunk_chars: int | None = None,
+        crossfade_ms: float = 30.0,
+        gap_ms: float = 0.0,
+    ) -> np.ndarray:
+        """Synthesize arbitrarily long text as one waveform.
+
+        The t2s canvas bounds a single request to ``max_speech_len`` frames
+        (~25 s at full size — the reference cannot synthesize past it at
+        all). This splits the text at sentence boundaries into chunks the
+        canvas can hold (`serving/chunking.py`), synthesizes them as
+        batched calls (chunks of one document become rows of one TPU
+        dispatch — the batch dimension serving wants anyway), and joins
+        the chunk waveforms with a short crossfade (or a silence gap).
+
+        Library/CLI surface: dispatches on the calling thread. In a server
+        with a live DynamicBatcher, use the HTTP ``"long": true`` path
+        instead — it routes chunks through the shared batcher (one
+        dispatching thread, and chunks coalesce with concurrent short
+        requests)."""
+        from edm_tts_tpu.serving.chunking import (
+            default_chunk_chars,
+            join_waveforms,
+            split_text,
+        )
+
+        if max_chunk_chars is None:
+            max_chunk_chars = default_chunk_chars(self.max_speech_len)
+        chunks = split_text(text, max_chunk_chars)
+        cap = max(self.batch_buckets)
+        wavs: list[np.ndarray] = []
+        for i in range(0, len(chunks), cap):
+            wavs += self.synthesize(chunks[i : i + cap], speaker, seed=seed)
+        return join_waveforms(
+            wavs, self.sample_rate,
+            crossfade_ms=crossfade_ms, gap_ms=gap_ms,
+        )

@@ -8,8 +8,15 @@ batched TPU dispatches. The reference has no deployment surface beyond a
 hand-run CLI (/root/reference/inference.py).
 
 Endpoints:
-  POST /synthesize   {"text", "speaker", "seed"?, "gt_length"?}
+  POST /synthesize   {"text", "speaker", "seed"?, "gt_length"?,
+                      "long"?, "max_chunk_chars"?, "crossfade_ms"?,
+                      "gap_ms"?}
                      -> 200 audio/wav (16-bit PCM)
+                     "long": true chunks arbitrarily long text at sentence
+                     boundaries (serving/chunking.py); the chunks go through
+                     the shared batcher as individual requests, so chunks of
+                     one document and concurrent short requests coalesce
+                     into the same batched TPU dispatches.
   POST /speakers     {"name", "pcm_b64" (little-endian f32), "sample_rate"}
                      -> 200 {"ok": true}
   GET  /healthz      -> {"ok": true, "speakers": [...]}
@@ -108,6 +115,8 @@ class TTSServer:
                     return self._json(
                         400, {"error": f"unknown speaker {body['speaker']!r}"}
                     )
+                if body.get("long"):
+                    return self._synthesize_long(body)
                 req = Request(
                     text=body["text"],
                     speaker=body["speaker"],
@@ -127,6 +136,54 @@ class TTSServer:
                     wav = fut.result(timeout=server.request_timeout_s)
                 except Exception as e:  # noqa: BLE001 — per-request failure
                     return self._json(500, {"error": str(e)})
+                self._send_wav(wav)
+
+            def _synthesize_long(self, body):
+                from edm_tts_tpu.serving.chunking import (
+                    default_chunk_chars,
+                    join_waveforms,
+                    split_text,
+                )
+
+                if body.get("gt_length") is not None:
+                    return self._json(400, {
+                        "error": "gt_length is per-utterance; it cannot "
+                        "apply to a chunked long request"
+                    })
+                try:
+                    max_chars = int(
+                        body.get("max_chunk_chars")
+                        or default_chunk_chars(server.engine.max_speech_len)
+                    )
+                    seed = int(body.get("seed", 0))
+                    crossfade_ms = float(body.get("crossfade_ms", 30.0))
+                    gap_ms = float(body.get("gap_ms", 0.0))
+                    chunks = split_text(body["text"], max_chars)
+                except (TypeError, ValueError) as e:
+                    return self._json(400, {"error": str(e)})
+                futs = []
+                try:
+                    for c in chunks:
+                        futs.append(server.batcher.submit(
+                            Request(text=c, speaker=body["speaker"],
+                                    seed=seed)
+                        ))
+                except (queue.Full, RuntimeError) as e:
+                    # already-submitted chunks complete and are discarded
+                    return self._json(503, {"error": str(e) or "saturated"})
+                try:
+                    wavs = [
+                        f.result(timeout=server.request_timeout_s)
+                        for f in futs
+                    ]
+                except Exception as e:  # noqa: BLE001 — per-request failure
+                    return self._json(500, {"error": str(e)})
+                self._send_wav(join_waveforms(
+                    wavs, server.engine.sample_rate,
+                    crossfade_ms=crossfade_ms, gap_ms=gap_ms,
+                ))
+
+            def _send_wav(self, wav):
                 from scipy.io import wavfile
 
                 buf = io.BytesIO()

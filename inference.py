@@ -58,6 +58,19 @@ def main():
                     choices=["none", "int8", "w8a8"],
                     help="per-stage override of --quantize for s2a "
                          "(measured best at batch 1: w8a8)")
+    ap.add_argument("--long", action="store_true",
+                    help="long-form mode: chunk --text at sentence "
+                         "boundaries sized to the t2s canvas, synthesize "
+                         "the chunks as ONE batch, and join the waveforms "
+                         "into a single output file (the canvas bounds a "
+                         "single utterance to ~25 s at full size)")
+    ap.add_argument("--max_chunk_chars", type=int, default=None,
+                    help="--long chunk budget (default: derived from "
+                         "--max_speech_len; 1250 -> 300 chars)")
+    ap.add_argument("--crossfade_ms", type=float, default=30.0,
+                    help="--long chunk-join crossfade")
+    ap.add_argument("--gap_ms", type=float, default=0.0,
+                    help="--long inter-chunk silence (disables crossfade)")
     ap.add_argument("--one_shot", action="store_true",
                     help="fuse t2s->s2a->decode into ONE jitted device "
                          "program on a fixed max_speech_len canvas (no host "
@@ -94,8 +107,20 @@ def main():
     prompt_acoustic = prompt["acoustic_codes"]  # (1, Q, Tp)
     prompt_semantic = prompt["semantic_codes"]  # (1, Tp)
 
-    # 2. collect utterances (single or batch mode)
-    if args.text_file:
+    # 2. collect utterances (single, batch, or long-form chunked mode)
+    if args.long:
+        if args.text is None or args.text_file:
+            ap.error("--long takes --text (not --text_file)")
+        if args.gt_length is not None:
+            ap.error("--gt_length is per-utterance; incompatible with --long")
+        from edm_tts_tpu.serving.chunking import default_chunk_chars, split_text
+
+        texts = split_text(
+            args.text,
+            args.max_chunk_chars or default_chunk_chars(args.max_speech_len),
+        )
+        print(f"long-form: {len(texts)} chunks")
+    elif args.text_file:
         with open(args.text_file) as f:
             texts = [l.strip() for l in f if l.strip()]
     elif args.text is not None:
@@ -166,9 +191,24 @@ def main():
         audio_out = np.asarray(
             decode(codec_params, acoustic_codes, lengths_dev), dtype=np.float32
         )
+    ds = tokenizer.downsample_factor
+    if args.long:
+        # join the chunk waveforms into ONE long-form output
+        from edm_tts_tpu.serving.chunking import join_waveforms
+
+        joined = join_waveforms(
+            [audio_out[i, : int(lengths[i]) * ds, 0] for i in range(b)],
+            tokenizer.sample_rate,
+            crossfade_ms=args.crossfade_ms, gap_ms=args.gap_ms,
+        )
+        save_wav(args.output, joined, tokenizer.sample_rate)
+        print(f"wrote {args.output}: "
+              f"{joined.shape[0] / tokenizer.sample_rate:.2f}s "
+              f"({b} chunks)")
+        return
     stem, ext = (args.output.rsplit(".", 1) + ["wav"])[:2]
     for i in range(b):
-        n = int(lengths[i]) * tokenizer.downsample_factor
+        n = int(lengths[i]) * ds
         out_path = args.output if b == 1 else f"{stem}_{i}.{ext}"
         save_wav(out_path, audio_out[i, :n, 0], tokenizer.sample_rate)
         print(f"wrote {out_path}: {n / tokenizer.sample_rate:.2f}s")

@@ -4,7 +4,9 @@ The deployment counterpart of inference.py (the reference stops at a
 hand-run script, /root/reference/inference.py): loads the three stages
 once, optionally registers speaker prompts from wav/flac files, and serves
 /synthesize (WAV), /speakers, /healthz and /stats with dynamic request
-batching (see edm_tts_tpu/serving/). SIGTERM shuts down gracefully.
+batching (see edm_tts_tpu/serving/). Long-form requests (`"long": true`)
+are chunked at sentence boundaries and ride the same batched dispatches.
+SIGTERM shuts down gracefully.
 
     python serve.py --codec_model ... --t2s_model ... --s2a_model ... \
         --hubert_model ... --speaker alice=alice.flac --port 8000

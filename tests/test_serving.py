@@ -547,9 +547,127 @@ def test_http_server_end_to_end(tiny_engine):
             sr2, pcm2 = wavfile.read(io.BytesIO(r.read()))
         assert pcm2.shape == (6 * tiny_engine.tokenizer.downsample_factor,)
 
-        # stats reflect the two successful synthesizes
+        # long-form: one request, chunked server-side through the batcher
+        from edm_tts_tpu.serving.chunking import split_text
+
+        long_text = "hello there friend. how are you."
+        n_chunks = len(split_text(long_text, 12))
+        assert n_chunks == 3
+        body3 = json.dumps({
+            "text": long_text, "speaker": "alice", "seed": 4,
+            "long": True, "max_chunk_chars": 12, "crossfade_ms": 5.0,
+        }).encode()
+        with urllib.request.urlopen(
+            urllib.request.Request(f"{base}/synthesize", data=body3),
+            timeout=300,
+        ) as r:
+            sr3, pcm3 = wavfile.read(io.BytesIO(r.read()))
+        assert sr3 == tiny_engine.sample_rate and pcm3.size > 0
+
+        # long + gt_length is ambiguous -> 400
+        bad_long = urllib.request.Request(
+            f"{base}/synthesize",
+            data=json.dumps({
+                "text": "x y. z w.", "speaker": "alice",
+                "long": True, "gt_length": 8,
+            }).encode(),
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(bad_long, timeout=30)
+        assert ei.value.code == 400
+
+        # stats reflect the two short synthesizes + the long one's chunks
         with urllib.request.urlopen(f"{base}/stats", timeout=30) as r:
             stats = json.loads(r.read())
-        assert stats["completed"] == 2 and stats["failed"] == 0
+        assert stats["completed"] == 2 + n_chunks and stats["failed"] == 0
     finally:
         srv.shutdown()
+
+
+# ---------------------------------------------------------------- chunking
+def test_split_text_prefers_sentence_boundaries():
+    from edm_tts_tpu.serving.chunking import split_text
+
+    # two sentences that cannot share a 7-char chunk split at the boundary
+    assert split_text("ab cd. ef gh.", 7) == ["ab cd.", "ef gh."]
+    # sentences pack greedily when they fit together
+    assert split_text("ab. cd. ef.", 7) == ["ab. cd.", "ef."]
+    # whitespace runs collapse, content is otherwise preserved
+    for text in (
+        "Hello there, friend.  How are\nyou today? Fine; thanks!",
+        "one two three four five six seven eight nine ten",
+        "x" * 95 + ". " + "y" * 40,
+    ):
+        for n in (8, 17, 64):
+            chunks = split_text(text, n)
+            assert all(len(c) <= n for c in chunks)
+            # non-space content always survives, in order (mid-word hard
+            # splits turn into chunk boundaries, i.e. extra spaces)
+            assert "".join(chunks).replace(" ", "") == "".join(text.split())
+            if max(len(w) for w in text.split()) <= n:
+                # no word exceeded the budget -> rejoining is exact
+                assert " ".join(chunks) == " ".join(text.split())
+
+
+def test_split_text_hard_splits_oversized_sentences():
+    from edm_tts_tpu.serving.chunking import split_text
+
+    # a long sentence splits at interior spaces, never exceeding the budget
+    chunks = split_text("alpha beta gamma delta epsilon", 11)
+    assert chunks == ["alpha beta", "gamma delta", "epsilon"]
+    # a single word longer than the budget splits mid-word (last resort)
+    assert split_text("abcdefghij", 4) == ["abcd", "efgh", "ij"]
+    with pytest.raises(ValueError):
+        split_text("   ", 16)
+    with pytest.raises(ValueError):
+        split_text("hi", 0)
+
+
+def test_join_waveforms_crossfade_and_gap():
+    from edm_tts_tpu.serving.chunking import join_waveforms
+
+    a, b = np.ones(100, np.float32), np.ones(100, np.float32)
+    # equal-gain linear crossfade of equal signals is seamless (all ones)
+    out = join_waveforms([a, b], 1000, crossfade_ms=20.0)
+    assert out.shape == (180,)
+    np.testing.assert_allclose(out, 1.0, atol=1e-6)
+    # zero crossfade -> plain concat
+    assert join_waveforms([a, b], 1000, crossfade_ms=0.0).shape == (200,)
+    # a gap inserts silence and disables the crossfade
+    out = join_waveforms([a, b], 1000, crossfade_ms=20.0, gap_ms=10.0)
+    assert out.shape == (210,)
+    np.testing.assert_allclose(out[100:110], 0.0)
+    # crossfade clamps to the shorter waveform
+    out = join_waveforms(
+        [np.ones(5, np.float32), np.ones(50, np.float32)], 1000,
+        crossfade_ms=20.0,
+    )
+    assert out.shape == (50,)
+    with pytest.raises(ValueError):
+        join_waveforms([], 1000)
+
+
+@pytest.mark.slow
+def test_engine_synthesize_long_matches_manual_chunks(tiny_engine):
+    """synthesize_long == split_text -> batched synthesize -> join, and the
+    chunk batching slices at the engine's largest batch bucket (chunks of
+    one document ride the batch dimension)."""
+    from edm_tts_tpu.serving.chunking import join_waveforms, split_text
+
+    text = "hello there friend. how are you today? fine thanks, and you."
+    long_wav = tiny_engine.synthesize_long(
+        text, "alice", seed=7, max_chunk_chars=12, crossfade_ms=5.0
+    )
+    chunks = split_text(text, 12)
+    assert len(chunks) > 4  # exceeds the largest batch bucket (4)
+    cap = max(tiny_engine.batch_buckets)
+    wavs = []
+    for i in range(0, len(chunks), cap):
+        wavs += tiny_engine.synthesize(chunks[i : i + cap], "alice", seed=7)
+    manual = join_waveforms(
+        wavs, tiny_engine.sample_rate, crossfade_ms=5.0
+    )
+    np.testing.assert_array_equal(long_wav, manual)
+    assert np.isfinite(long_wav).all()
+    # crossfade shortens vs plain concatenation by (n_chunks-1) overlaps
+    assert long_wav.shape[0] < sum(w.shape[0] for w in wavs)
