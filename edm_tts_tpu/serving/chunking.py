@@ -81,8 +81,11 @@ def join_waveforms(
     ``gap_ms > 0`` inserts silence between chunks (pause at a sentence /
     paragraph break) and disables the crossfade (fading into silence just
     shortens the audio); otherwise adjacent chunks are joined with a
-    ``crossfade_ms`` linear equal-gain crossfade, clamped to the shorter of
-    the two waveforms, which removes the boundary click of a hard splice.
+    ``crossfade_ms`` equal-power (sin/cos) crossfade, clamped to the shorter
+    of the two waveforms. Equal-power is the right law for splicing
+    *uncorrelated* chunks (independent synthesis runs): the summed power
+    stays flat through the joint, where a linear equal-gain ramp dips ~-3 dB
+    at the midpoint.
     """
     wavs = [np.asarray(w, dtype=np.float32).reshape(-1) for w in wavs]
     if not wavs:
@@ -100,8 +103,8 @@ def join_waveforms(
         if n == 0:
             out = np.concatenate([out, w])
             continue
-        ramp = np.linspace(0.0, 1.0, n, dtype=np.float32)
-        mixed = out[-n:] * (1.0 - ramp) + w[:n] * ramp
+        theta = np.linspace(0.0, np.pi / 2, n, dtype=np.float32)
+        mixed = out[-n:] * np.cos(theta) + w[:n] * np.sin(theta)
         out = np.concatenate([out[:-n], mixed, w[n:]])
     return out
 

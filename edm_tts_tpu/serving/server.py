@@ -33,6 +33,7 @@ import io
 import json
 import queue
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -111,6 +112,8 @@ class TTSServer:
                     return self._json(
                         400, {"error": "text and speaker are required"}
                     )
+                if not isinstance(body["text"], str):
+                    return self._json(400, {"error": "text must be a string"})
                 if body["speaker"] not in server.engine.speakers():
                     return self._json(
                         400, {"error": f"unknown speaker {body['speaker']!r}"}
@@ -151,9 +154,13 @@ class TTSServer:
                         "apply to a chunked long request"
                     })
                 try:
-                    max_chars = int(
-                        body.get("max_chunk_chars")
-                        or default_chunk_chars(server.engine.max_speech_len)
+                    # explicit None test: a client's max_chunk_chars: 0 must
+                    # reach split_text (which rejects it with 400), not be
+                    # silently replaced by the default
+                    max_chars = (
+                        int(body["max_chunk_chars"])
+                        if body.get("max_chunk_chars") is not None
+                        else default_chunk_chars(server.engine.max_speech_len)
                     )
                     seed = int(body.get("seed", 0))
                     crossfade_ms = float(body.get("crossfade_ms", 30.0))
@@ -171,9 +178,13 @@ class TTSServer:
                 except (queue.Full, RuntimeError) as e:
                     # already-submitted chunks complete and are discarded
                     return self._json(503, {"error": str(e) or "saturated"})
+                # one deadline for the WHOLE long request: waiting each chunk
+                # with a fresh timeout would bound worst-case wall time at
+                # n_chunks x timeout instead of one request budget
+                deadline = time.monotonic() + server.request_timeout_s
                 try:
                     wavs = [
-                        f.result(timeout=server.request_timeout_s)
+                        f.result(timeout=max(0.0, deadline - time.monotonic()))
                         for f in futs
                     ]
                 except Exception as e:  # noqa: BLE001 — per-request failure

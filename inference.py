@@ -67,6 +67,11 @@ def main():
     ap.add_argument("--max_chunk_chars", type=int, default=None,
                     help="--long chunk budget (default: derived from "
                          "--max_speech_len; 1250 -> 300 chars)")
+    ap.add_argument("--long_batch", type=int, default=16,
+                    help="--long synthesizes chunks in groups of at most "
+                         "this many (matches the engine's largest batch "
+                         "bucket); an uncapped batch of a genuinely long "
+                         "document would OOM the s2a on a full canvas")
     ap.add_argument("--crossfade_ms", type=float, default=30.0,
                     help="--long chunk-join crossfade")
     ap.add_argument("--gap_ms", type=float, default=0.0,
@@ -128,89 +133,112 @@ def main():
     else:
         ap.error("one of --text / --text_file is required")
 
-    b = len(texts)
-    byte_seqs = [[c + 5 for c in t.encode("utf-8")] for t in texts]
-    # bucket the text length to a multiple of 32 so repeated invocations with
-    # different texts reuse the jitted sampler (static-shape canvas)
-    lt = -(-max(len(s) for s in byte_seqs) // 32) * 32
-    text_tokens = jnp.asarray(
-        [s + [0] * (lt - len(s)) for s in byte_seqs], jnp.int32
-    )
-    text_lengths = jnp.asarray([len(s) for s in byte_seqs], jnp.int32)
     rng = jax.random.PRNGKey(args.seed)
     k_t2s, k_s2a = jax.random.split(rng)
-    gt = None
-    if args.gt_length is not None:
-        gt = jnp.full((b,), args.gt_length, jnp.int32)
-
-    if args.one_shot:
-        # single fused dispatch: t2s -> s2a -> decode in one XLA program
-        from edm_tts_tpu.pipeline import e2e_synthesize
-
-        out = e2e_synthesize(
-            t2s_model, s2a_model, t2s_params, s2a_params,
-            text_tokens, text_lengths, prompt_acoustic, prompt_semantic, rng,
-            pred_iters=args.pred_iters, steps=args.s2a_steps,
-            temperature=args.temperature, max_speech_len=args.max_speech_len,
-            gt_length=gt,
-        )
-        audio_out = np.asarray(out["audio"], dtype=np.float32)
-        lengths = np.asarray(out["lengths"])
-    else:
-        # 3. text -> semantic tokens (batched MaskGIT)
-        t2s_out = t2s_sample(
-            t2s_model, t2s_params, text_tokens, text_lengths, k_t2s,
-            pred_iters=args.pred_iters, temperature=args.temperature,
-            max_speech_len=args.max_speech_len, gt_length=gt,
-        )
-        lengths = np.asarray(t2s_out["lengths"])
-        # bucket the canvas length so each new utterance length within a
-        # bucket reuses ONE compiled s2a/decode program (semantic_valid /
-        # valid_frames make valid positions bit-identical to an exact-size
-        # canvas); unbucketed, every distinct length re-jits the 464M s2a scan
-        n_max = bucket_length(int(lengths.max()), args.length_bucket,
-                              args.max_speech_len)
-        semantic_tokens = t2s_out["semantic_tokens"][:, :n_max]
-        lengths_dev = jnp.asarray(lengths, jnp.int32)
-        semantic_valid = jnp.arange(n_max)[None, :] < lengths_dev[:, None]
-
-        # 4. semantic -> acoustic codes (zero-shot, speaker prompt broadcast)
-        acoustic_codes = s2a_sample(
-            s2a_model, s2a_params, semantic_tokens,
-            jnp.broadcast_to(prompt_acoustic, (b, *prompt_acoustic.shape[1:])),
-            jnp.broadcast_to(prompt_semantic, (b, *prompt_semantic.shape[1:])),
-            k_s2a, steps=args.s2a_steps, temperature=args.temperature,
-            semantic_valid=semantic_valid,
-        )
-
-        # 5. decode to waveforms (per-sample masked: valid audio identical
-        # to decoding each utterance at its exact length)
-        decode = jax.jit(lambda p, c, vf: tokenizer.codec.apply(
-            p, c, vf, method="decode_from_codes"
-        ))
-        audio_out = np.asarray(
-            decode(codec_params, acoustic_codes, lengths_dev), dtype=np.float32
-        )
     ds = tokenizer.downsample_factor
+
+    def synthesize_group(texts_group: list[str]) -> list[np.ndarray]:
+        """Run the staged (or fused) pipeline on one batch of utterances;
+        returns per-utterance waveforms trimmed to their predicted lengths.
+
+        Buckets the text length to a multiple of 32 so groups with similar
+        texts reuse the jitted sampler (static-shape canvas)."""
+        b = len(texts_group)
+        byte_seqs = [[c + 5 for c in t.encode("utf-8")] for t in texts_group]
+        lt = -(-max(len(s) for s in byte_seqs) // 32) * 32
+        text_tokens = jnp.asarray(
+            [s + [0] * (lt - len(s)) for s in byte_seqs], jnp.int32
+        )
+        text_lengths = jnp.asarray([len(s) for s in byte_seqs], jnp.int32)
+        gt = None
+        if args.gt_length is not None:
+            gt = jnp.full((b,), args.gt_length, jnp.int32)
+
+        if args.one_shot:
+            # single fused dispatch: t2s -> s2a -> decode in one XLA program
+            from edm_tts_tpu.pipeline import e2e_synthesize
+
+            out = e2e_synthesize(
+                t2s_model, s2a_model, t2s_params, s2a_params,
+                text_tokens, text_lengths, prompt_acoustic, prompt_semantic,
+                rng,
+                pred_iters=args.pred_iters, steps=args.s2a_steps,
+                temperature=args.temperature,
+                max_speech_len=args.max_speech_len,
+                gt_length=gt,
+            )
+            audio_out = np.asarray(out["audio"], dtype=np.float32)
+            lengths = np.asarray(out["lengths"])
+        else:
+            # 3. text -> semantic tokens (batched MaskGIT)
+            t2s_out = t2s_sample(
+                t2s_model, t2s_params, text_tokens, text_lengths, k_t2s,
+                pred_iters=args.pred_iters, temperature=args.temperature,
+                max_speech_len=args.max_speech_len, gt_length=gt,
+            )
+            lengths = np.asarray(t2s_out["lengths"])
+            # bucket the canvas length so each new utterance length within a
+            # bucket reuses ONE compiled s2a/decode program (semantic_valid /
+            # valid_frames make valid positions bit-identical to an
+            # exact-size canvas); unbucketed, every distinct length re-jits
+            # the 464M s2a scan
+            n_max = bucket_length(int(lengths.max()), args.length_bucket,
+                                  args.max_speech_len)
+            semantic_tokens = t2s_out["semantic_tokens"][:, :n_max]
+            lengths_dev = jnp.asarray(lengths, jnp.int32)
+            semantic_valid = jnp.arange(n_max)[None, :] < lengths_dev[:, None]
+
+            # 4. semantic -> acoustic codes (zero-shot, prompt broadcast)
+            acoustic_codes = s2a_sample(
+                s2a_model, s2a_params, semantic_tokens,
+                jnp.broadcast_to(
+                    prompt_acoustic, (b, *prompt_acoustic.shape[1:])
+                ),
+                jnp.broadcast_to(
+                    prompt_semantic, (b, *prompt_semantic.shape[1:])
+                ),
+                k_s2a, steps=args.s2a_steps, temperature=args.temperature,
+                semantic_valid=semantic_valid,
+            )
+
+            # 5. decode to waveforms (per-sample masked: valid audio
+            # identical to decoding each utterance at its exact length)
+            decode = jax.jit(lambda p, c, vf: tokenizer.codec.apply(
+                p, c, vf, method="decode_from_codes"
+            ))
+            audio_out = np.asarray(
+                decode(codec_params, acoustic_codes, lengths_dev),
+                dtype=np.float32,
+            )
+        return [audio_out[i, : int(lengths[i]) * ds, 0] for i in range(b)]
+
+    # --long slices the chunk list into groups of at most --long_batch
+    # (matching TTSEngine.synthesize_long): one unbounded batch over a long
+    # document would OOM the s2a on a full-size canvas and would compile a
+    # fresh XLA program for every distinct chunk count
+    cap = max(1, args.long_batch) if args.long else len(texts)
+    waves: list[np.ndarray] = []
+    for g in range(0, len(texts), cap):
+        waves.extend(synthesize_group(texts[g : g + cap]))
+
     if args.long:
         # join the chunk waveforms into ONE long-form output
         from edm_tts_tpu.serving.chunking import join_waveforms
 
         joined = join_waveforms(
-            [audio_out[i, : int(lengths[i]) * ds, 0] for i in range(b)],
-            tokenizer.sample_rate,
+            waves, tokenizer.sample_rate,
             crossfade_ms=args.crossfade_ms, gap_ms=args.gap_ms,
         )
         save_wav(args.output, joined, tokenizer.sample_rate)
         print(f"wrote {args.output}: "
               f"{joined.shape[0] / tokenizer.sample_rate:.2f}s "
-              f"({b} chunks)")
+              f"({len(texts)} chunks)")
         return
     stem, ext = (args.output.rsplit(".", 1) + ["wav"])[:2]
-    for i in range(b):
-        n = int(lengths[i]) * ds
-        out_path = args.output if b == 1 else f"{stem}_{i}.{ext}"
-        save_wav(out_path, audio_out[i, :n, 0], tokenizer.sample_rate)
+    for i, wav_i in enumerate(waves):
+        n = wav_i.shape[0]
+        out_path = args.output if len(waves) == 1 else f"{stem}_{i}.{ext}"
+        save_wav(out_path, wav_i, tokenizer.sample_rate)
         print(f"wrote {out_path}: {n / tokenizer.sample_rate:.2f}s")
 
 

@@ -627,10 +627,27 @@ def test_join_waveforms_crossfade_and_gap():
     from edm_tts_tpu.serving.chunking import join_waveforms
 
     a, b = np.ones(100, np.float32), np.ones(100, np.float32)
-    # equal-gain linear crossfade of equal signals is seamless (all ones)
+    # equal-power (sin/cos) crossfade: cos^2 + sin^2 gains sum to 1, so the
+    # POWER through the joint of uncorrelated unit-power chunks stays flat
+    # (a linear equal-gain ramp would dip -3 dB at the midpoint)
     out = join_waveforms([a, b], 1000, crossfade_ms=20.0)
     assert out.shape == (180,)
-    np.testing.assert_allclose(out, 1.0, atol=1e-6)
+    theta = np.linspace(0.0, np.pi / 2, 20, dtype=np.float32)
+    np.testing.assert_allclose(
+        out[80:100] ** 2,
+        np.cos(theta) ** 2 + np.sin(theta) ** 2 + 2 * np.cos(theta) * np.sin(theta),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(out[:80], 1.0, atol=1e-6)
+    np.testing.assert_allclose(out[100:], 1.0, atol=1e-6)
+    rng = np.random.default_rng(0)
+    u = rng.standard_normal(4000).astype(np.float32)
+    v = rng.standard_normal(4000).astype(np.float32)
+    out = join_waveforms([u, v], 1000, crossfade_ms=2000.0)
+    # expected power of the mix of independent unit-variance noise is
+    # cos^2 + sin^2 = 1 everywhere; check the joint region's mean power
+    mid = out[out.shape[0] // 2 - 500 : out.shape[0] // 2 + 500]
+    assert abs(float(np.mean(mid**2)) - 1.0) < 0.15
     # zero crossfade -> plain concat
     assert join_waveforms([a, b], 1000, crossfade_ms=0.0).shape == (200,)
     # a gap inserts silence and disables the crossfade
