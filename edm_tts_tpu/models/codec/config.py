@@ -61,3 +61,11 @@ class CodecConfig:
     def load(cls, path: str) -> "CodecConfig":
         with open(os.path.join(path, "config.json")) as f:
             return cls.from_dict(json.load(f))
+
+
+if __name__ == "__main__":
+    # regenerate the checked-in base config artifact, mirroring the reference
+    # configuration.py __main__ block (dac/configuration.py:23-25)
+    _root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))))
+    CodecConfig().save(os.path.join(_root, "configs", "dac", "base_config"))

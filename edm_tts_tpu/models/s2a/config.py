@@ -95,3 +95,12 @@ class S2AConfig:
     def load(cls, path: str) -> "S2AConfig":
         with open(os.path.join(path, "config.json")) as f:
             return cls.from_dict(json.load(f))
+
+
+if __name__ == "__main__":
+    # regenerate the checked-in base config artifact, mirroring the reference
+    # configuration.py __main__ block (injection_conformer/configuration.py:69-71)
+    _root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))))
+    S2AConfig().save(os.path.join(
+        _root, "configs", "injection_conformer", "base_config"))

@@ -123,3 +123,12 @@ class T2SConfig:
     def load(cls, path: str) -> "T2SConfig":
         with open(os.path.join(path, "config.json")) as f:
             return cls.from_dict(json.load(f))
+
+
+if __name__ == "__main__":
+    # regenerate the checked-in base config artifact, mirroring the reference
+    # configuration.py __main__ block (text_to_semantic/configuration.py:90-92)
+    _root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))))
+    T2SConfig().save(os.path.join(
+        _root, "configs", "text_to_semantic_w_length", "base_config"))
