@@ -34,7 +34,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh
+from jax.sharding import Mesh, PartitionSpec as P
 
 from edm_tts_tpu.models.conformer.conformer import ConformerBlock
 from edm_tts_tpu.ops import rope_frequencies
@@ -75,6 +75,7 @@ def pipelined_forward_logits(
     mesh: Mesh,
     *,
     n_micro: int,
+    micro_spec: P = P(),
 ) -> Array:
     """Teacher-forced training logits ``(B, Q, T, N)`` == the sequential
     ``forward_logits(enc_in, teacher_injections=teacher, train=...)`` (the
@@ -84,6 +85,10 @@ def pipelined_forward_logits(
     Differentiable end-to-end: stage stacking happens inside, so
     ``jax.grad`` w.r.t. ``params`` reaches the block weights through the
     pipe and the head/projection weights outside it.
+
+    ``micro_spec`` composes dp x pp on a ``(pipe, data)`` mesh
+    (parallel/pipeline.py::make_pipe_mesh): e.g. ``P(None, "data")``
+    shards each microbatch's batch dim over every stage's data replicas.
     """
     cfg = model.cfg
     depth = cfg.encoder_num_layers
@@ -170,7 +175,10 @@ def pipelined_forward_logits(
         )
         return {"x": x, "coarse": coarse}
 
-    out = pipeline_apply(stage_fn, stacked, micro, mesh, side_inputs=side)
+    out = pipeline_apply(
+        stage_fn, stacked, micro, mesh, side_inputs=side,
+        micro_spec=micro_spec, side_spec=micro_spec,
+    )
     final = out["x"].reshape(b, t, h)
     coarse = out["coarse"].reshape(b, qc, t, h)
     coarse_btqh = jnp.transpose(coarse, (0, 2, 1, 3))  # (B, T, Qc, H)

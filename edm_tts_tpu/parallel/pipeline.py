@@ -68,6 +68,7 @@ def pipeline_apply(
     *,
     side_inputs: Pytree | None = None,
     micro_spec: P = P(),
+    side_spec: P = P(),
     check_rep: bool = False,
 ) -> Pytree:
     """Run M microbatches through S pipeline stages.
@@ -98,8 +99,11 @@ def pipeline_apply(
     shards the per-microbatch batch dim over data replicas of every stage).
     Must not shard dim 0 (the microbatch dim — that is the pipe's time axis)
     and must not mention the pipe axis. Outputs use the same spec.
-    side_inputs are always replicated over the non-pipe axes (their batch
-    dim position may differ per leaf).
+
+    side_spec: same contract for side_inputs (default: replicated). When
+    micro_spec shards the per-microbatch batch dim, side inputs whose
+    per-stage slices combine elementwise with activations MUST be sharded
+    the same way, or per-device batch dims disagree inside stage_fn.
 
     Returns the stage-(S-1) outputs, (M, ...) per leaf, replicated across
     ``pipe`` (and sharded per ``micro_spec`` over the other axes).
@@ -184,7 +188,7 @@ def pipeline_apply(
     return shard_map(
         run,
         mesh=mesh,
-        in_specs=(P(PIPE_AXIS), micro_spec, P()),
+        in_specs=(P(PIPE_AXIS), micro_spec, side_spec),
         out_specs=micro_spec,
         check_rep=check_rep,
     )(stacked_params, micro_inputs, side_inputs)

@@ -100,3 +100,46 @@ def test_pipelined_s2a_loss_and_grads_match_sequential():
     flat_pp, _ = jax.tree_util.tree_flatten(g_pp)
     for a, b in zip(flat_pp, flat_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+def test_pipelined_s2a_composes_with_data_parallel():
+    """dp x pp: the same program on a (pipe=4, data=2) mesh with each
+    microbatch's batch dim sharded over data replicas (micro_spec/side_spec)
+    matches the sequential logits, loss and grads."""
+    from jax.sharding import PartitionSpec as P
+
+    model, params, ac, sem, mask = _setup()
+    enc_in, teacher = prepare_train_inputs(model, params, ac, sem, mask)
+    ref = model.apply(
+        params, enc_in, teacher_injections=teacher, method="forward_logits"
+    )
+    mesh = make_pipe_mesh(4, n_data=2)
+    logits = jax.jit(
+        lambda p, e, tch: pipelined_forward_logits(
+            model, p, e, tch, mesh, n_micro=M, micro_spec=P(None, "data")
+        )
+    )(params, enc_in, teacher)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref), atol=2e-5)
+
+    def loss_dpp(p):
+        enc, tch = prepare_train_inputs(model, p, ac, sem, mask)
+        lg = pipelined_forward_logits(
+            model, p, enc, tch, mesh, n_micro=M, micro_spec=P(None, "data")
+        )
+        targets = ac.astype(jnp.int32)
+        loss_mask = jnp.broadcast_to(mask[:, None, :], targets.shape)
+        return masked_cross_entropy(lg, targets, loss_mask)
+
+    def loss_seq(p):
+        out = model.apply(
+            p, ac, sem, mask_rng=jax.random.PRNGKey(9), mask_override=mask,
+            train=False,
+        )
+        return out["loss"]
+
+    l_ref, g_ref = jax.value_and_grad(loss_seq)(params)
+    l_d, g_d = jax.jit(jax.value_and_grad(loss_dpp))(params)
+    np.testing.assert_allclose(float(l_d), float(l_ref), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g_d),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
