@@ -59,7 +59,7 @@ def _guarded_apply(state: TrainState, grads):
 
 
 @functools.partial(
-    jax.jit, static_argnums=(0, 1, 2, 8), donate_argnums=(3, 4)
+    jax.jit, static_argnums=(0, 1, 2, 8, 9), donate_argnums=(3, 4)
 )
 def gan_train_step(
     codec,  # Codec module (static)
@@ -71,6 +71,7 @@ def gan_train_step(
     rng: Array,
     lambdas: Mapping[str, float] | None = None,
     skip_nonfinite: bool = False,  # static
+    watch: str | None = None,  # static: WANDB_WATCH analog (train/watch.py)
 ):
     """One G+D update. ``audio``: (B, T, 1). Returns (g_state, d_state, metrics).
 
@@ -121,6 +122,18 @@ def gan_train_step(
     else:
         g_state = g_state.apply_gradients(grads=g_grads)
     metrics["adv/disc_loss"] = d_loss
+    if watch:
+        # Reference codec training runs under WANDB_WATCH=all
+        # (run_codec_training.py:201) — per-tensor G and D grad/param norms.
+        from edm_tts_tpu.train.watch import watch_metrics
+
+        for prefix, grads, state in (
+            ("gen/", g_grads, g_state), ("disc/", d_grads, d_state)
+        ):
+            for k, v in watch_metrics(
+                watch, grads=grads, params=state.params
+            ).items():
+                metrics[k.replace("watch/", "watch/" + prefix, 1)] = v
     return g_state, d_state, metrics
 
 

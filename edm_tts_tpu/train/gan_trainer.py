@@ -55,6 +55,10 @@ class GANTrainingArguments:
     # surface as metrics["skipped_nonfinite"]). Off by default for recipe
     # parity — the reference has no such guard.
     skip_nonfinite_updates: bool = False
+    # Per-tensor grad/param norm logging ("gradients" | "parameters" | "all");
+    # the reference runs codec training under WANDB_WATCH=all
+    # (run_codec_training.py:201). See train/watch.py.
+    watch: str | None = None
 
 
 class GANTrainer:
@@ -154,7 +158,7 @@ class GANTrainer:
                 self.g_state, self.d_state, metrics = gan_train_step(
                 self.codec, self.disc, self.recon_loss,
                 self.g_state, self.d_state, audio, step_rng, self.lambdas,
-                args.skip_nonfinite_updates,
+                args.skip_nonfinite_updates, args.watch,
             )
             if (step + 1) % args.logging_steps == 0:
                 m = {k: float(v) for k, v in jax.device_get(metrics).items()}

@@ -81,6 +81,12 @@ class TrainingArguments:
     # reference (HF Trainer + DeepSpeed bf16, configs/ds_config.json) has
     # no such guard.
     skip_nonfinite_updates: bool = False
+    # Per-tensor grad/param norm logging: "gradients" | "parameters" | "all"
+    # (the reference's WANDB_WATCH vocabulary, run_codec_training.py:201;
+    # entry scripts read the WANDB_WATCH env var into this). Norms are
+    # computed inside the jitted step and fetched only at logging_steps —
+    # see train/watch.py for why norms, not histograms, on a TPU tunnel.
+    watch: str | None = None
 
     def time_limit_seconds(self) -> float | None:
         if not self.time_limit:
@@ -153,6 +159,12 @@ class Trainer:
             """apply_gradients, optionally fenced on grad-norm finiteness."""
             grad_norm = optax.global_norm(grads)
             metrics["grad_norm"] = grad_norm
+            if args.watch:
+                from edm_tts_tpu.train.watch import watch_metrics
+
+                metrics.update(
+                    watch_metrics(args.watch, grads=grads, params=state.params)
+                )
             if not args.skip_nonfinite_updates:
                 return state.apply_gradients(grads=grads), metrics
             finite = jnp.isfinite(grad_norm)

@@ -12,6 +12,7 @@ Usage: python run_codec_training.py configs/dac/train_config.yaml
 from __future__ import annotations
 
 import dataclasses
+import os
 import sys
 
 import jax
@@ -107,6 +108,8 @@ def main():
         disc_betas=tuple(raw.get("disc_optimizer_args", {}).get("betas", (0.8, 0.99))),
         scheduler_gamma=raw.get("gen_scheduler_args", {}).get("gamma", 0.999996),
         skip_nonfinite_updates=raw.get("skip_nonfinite_updates", False),
+        # reference sets WANDB_WATCH=all for codec training (run_codec_training.py:201)
+        watch=raw.get("watch", os.environ.get("WANDB_WATCH") or None),
     )
     data_args = DataArguments(
         data_dir=raw.get("dataset_args", {}).get("data_dir", "data"),

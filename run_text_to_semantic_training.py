@@ -12,6 +12,7 @@ Usage: python run_text_to_semantic_training.py configs/text_to_semantic_w_length
 
 from __future__ import annotations
 
+import os
 import sys
 
 import jax
@@ -72,6 +73,8 @@ def main():
         n_model=raw.get("n_model", 1),
         n_seq=raw.get("n_seq", 1),
         skip_nonfinite_updates=raw.get("skip_nonfinite_updates", False),
+        # HF Trainer's WandbCallback honors WANDB_WATCH; same env var here
+        watch=raw.get("watch", os.environ.get("WANDB_WATCH") or None),
     )
 
     import jax.numpy as _jnp
