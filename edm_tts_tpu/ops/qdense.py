@@ -184,6 +184,59 @@ def int8_dense(
 
 
 # ---------------------------------------------------------------------------
+# w8a8 training forward (straight-through estimator)
+
+
+def _w8a8_forward_math(x2d: Array, kernel: Array) -> Array:
+    """Dynamic per-row x quant + per-column w quant + native s8xs8 dot.
+    Same numerics as ``int8_dense(implementation="w8a8")`` except the weight
+    is quantized on the fly (training updates it every step, so there is no
+    offline int8 copy to stream)."""
+    amax_x = jnp.max(jnp.abs(x2d), axis=-1, keepdims=True)
+    xscale = jnp.where(amax_x > 0, amax_x / 127.0, 1.0).astype(jnp.float32)
+    xq = jnp.clip(
+        jnp.round(x2d.astype(jnp.float32) / xscale), -127, 127
+    ).astype(jnp.int8)
+    amax_w = jnp.max(jnp.abs(kernel), axis=0)
+    wscale = jnp.where(amax_w > 0, amax_w / 127.0, 1.0).astype(jnp.float32)
+    wq = jnp.clip(
+        jnp.round(kernel.astype(jnp.float32) / wscale[None, :]), -127, 127
+    ).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, wq, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32,
+    )
+    return (acc.astype(jnp.float32) * xscale * wscale[None, :]).astype(x2d.dtype)
+
+
+@jax.custom_vjp
+def w8a8_matmul_ste(x2d: Array, kernel: Array) -> Array:
+    """``x @ w`` with a w8a8 quantized FORWARD and full-precision straight-
+    through GRADIENTS (dx = g @ w.T, dw = x.T @ g on the unquantized
+    operands) — the standard int8-training recipe. Exists for the t2s
+    training-throughput crux (scripts/t2s_w8a8_train_crux.py); the MXU's
+    s8 dot replaces the bf16 dot on the forward third of the step's
+    matmuls only, because the backward must stay bf16 for convergence."""
+    return _w8a8_forward_math(x2d, kernel)
+
+
+def _w8a8_ste_fwd(x2d, kernel):
+    return _w8a8_forward_math(x2d, kernel), (x2d, kernel)
+
+
+def _w8a8_ste_bwd(res, g):
+    x2d, kernel = res
+    g = g.astype(kernel.dtype)
+    dx = jax.lax.dot_general(g, kernel, (((1,), (1,)), ((), ())))
+    dw = jax.lax.dot_general(
+        x2d.astype(g.dtype), g, (((0,), (0,)), ((), ()))
+    )
+    return dx.astype(x2d.dtype), dw.astype(kernel.dtype)
+
+
+w8a8_matmul_ste.defvjp(_w8a8_ste_fwd, _w8a8_ste_bwd)
+
+
+# ---------------------------------------------------------------------------
 # flax module
 
 
@@ -202,6 +255,11 @@ class QDense(nn.Module):
     tile (K % 32 or N % 128 != 0) keep the float kernel even in quantized
     modes, so the decision is static and the converter (which walks the
     abstract param tree) always agrees with it.
+
+    ``quantize == "w8a8_train"``: TRAINING variant — ordinary float
+    ``kernel`` param (trainable, checkpoint-identical to "none"), w8a8
+    forward with on-the-fly weight quantization, straight-through bf16
+    gradients (``w8a8_matmul_ste``). Same shape gate as the other modes.
     """
 
     features: int
@@ -215,7 +273,7 @@ class QDense(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         in_features = x.shape[-1]
-        if self.quantize not in ("none", "int8", "w8a8"):
+        if self.quantize not in ("none", "int8", "w8a8", "w8a8_train"):
             raise ValueError(f"unknown quantize mode: {self.quantize!r}")
         quantized = self.quantize != "none" and quantizable_shape(
             in_features, self.features
@@ -226,7 +284,11 @@ class QDense(nn.Module):
             if self.use_bias
             else None
         )
-        if not quantized:
+        if not quantized or self.quantize == "w8a8_train":
+            # "w8a8_train" keeps the ordinary float `kernel` param (the
+            # optimizer updates it; checkpoints stay format-identical to
+            # quantize="none") and swaps only the forward matmul for the
+            # quantized STE form.
             kernel = self.param(
                 "kernel", self.kernel_init, (in_features, self.features),
                 self.param_dtype,
@@ -234,9 +296,15 @@ class QDense(nn.Module):
             x, kernel, bias = nn.dtypes.promote_dtype(
                 x, kernel, bias, dtype=self.dtype
             )
-            y = jax.lax.dot_general(
-                x, kernel, (((x.ndim - 1,), (0,)), ((), ()))
-            )
+            if quantized:
+                lead = x.shape[:-1]
+                y = w8a8_matmul_ste(
+                    x.reshape(-1, in_features), kernel
+                ).reshape(*lead, self.features)
+            else:
+                y = jax.lax.dot_general(
+                    x, kernel, (((x.ndim - 1,), (0,)), ((), ()))
+                )
         else:
             kernel_q = self.param(
                 "kernel_q",

@@ -42,6 +42,7 @@ def build_server(args):
     return TTSServer(
         engine, host=args.host, port=args.port,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+        lookahead=args.batch_lookahead,
     )
 
 
@@ -59,6 +60,10 @@ def main():
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--max_batch", type=int, default=16)
     ap.add_argument("--max_wait_ms", type=float, default=25.0)
+    # length-aware batch formation: drain up to max_batch*lookahead queued
+    # requests, sort by estimated length, cut homogeneous chunks (1.29x on
+    # a realistic duration mix, scripts/profile_lengthmix.py); 1 = off
+    ap.add_argument("--batch_lookahead", type=int, default=4)
     ap.add_argument("--pred_iters", type=int, default=16)
     ap.add_argument("--s2a_steps", type=int, default=8)
     ap.add_argument("--temperature", type=float, default=1.0)

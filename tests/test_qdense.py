@@ -226,3 +226,90 @@ def test_quantize_t2s_forward_close():
                           mask_rng=rng, train=False)
     f, q = float(out_f["loss"]), float(out_q["loss"])
     assert abs(f - q) < 0.15 * abs(f)
+
+
+def test_w8a8_train_forward_matches_serving_w8a8():
+    """quantize="w8a8_train" forward == int8_dense("w8a8") on the offline-
+    quantized copy of the same weights (identical quant scheme)."""
+    from edm_tts_tpu.ops.qdense import int8_dense, quantize_weight, w8a8_matmul_ste
+
+    k, n, m = 64, 128, 16
+    w = jax.random.normal(jax.random.PRNGKey(0), (k, n), jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (m, k), jnp.float32)
+    wq, ws = quantize_weight(w)
+    np.testing.assert_allclose(
+        np.asarray(w8a8_matmul_ste(x, w)),
+        np.asarray(int8_dense(x, wq, ws, implementation="w8a8")),
+        rtol=1e-6, atol=1e-6,
+    )
+
+
+def test_w8a8_train_grads_are_straight_through():
+    """Gradients of the STE matmul == gradients of the plain matmul (the
+    quantization is forward-only), for both operands."""
+    from edm_tts_tpu.ops.qdense import w8a8_matmul_ste
+
+    k, n, m = 64, 128, 8
+    w = jax.random.normal(jax.random.PRNGKey(0), (k, n), jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (m, k), jnp.float32)
+    co = jax.random.normal(jax.random.PRNGKey(2), (m, n), jnp.float32)
+
+    def loss_q(x, w):
+        return jnp.sum(w8a8_matmul_ste(x, w) * co)
+
+    def loss_f(x, w):
+        return jnp.sum((x @ w) * co)
+
+    gx_q, gw_q = jax.grad(loss_q, argnums=(0, 1))(x, w)
+    gx_f, gw_f = jax.grad(loss_f, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx_q), np.asarray(gx_f), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw_q), np.asarray(gw_f), rtol=1e-5)
+
+
+def test_qdense_w8a8_train_mode_trains():
+    """QDense(quantize="w8a8_train") keeps the float `kernel` param (same
+    tree as "none"), runs the quantized forward, and a few SGD steps reduce
+    a regression loss (the STE grads point downhill despite the quantized
+    forward)."""
+    from edm_tts_tpu.ops.qdense import QDense, int8_dense, quantize_weight
+
+    dense = QDense(128, quantize="w8a8_train", use_bias=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (32, 64), jnp.float32)
+    w_true = jax.random.normal(jax.random.PRNGKey(1), (64, 128)) * 0.3
+    y = x @ w_true
+    params = dense.init(jax.random.PRNGKey(2), x)
+    assert set(params["params"]) == {"kernel", "bias"}  # no kernel_q
+
+    # forward parity with offline w8a8 of the same kernel
+    wq, ws = quantize_weight(params["params"]["kernel"])
+    np.testing.assert_allclose(
+        np.asarray(dense.apply(params, x)),
+        np.asarray(int8_dense(x, wq, ws, implementation="w8a8"))
+        + np.asarray(params["params"]["bias"]),
+        rtol=1e-5, atol=1e-6,
+    )
+
+    def loss(p):
+        return jnp.mean((dense.apply(p, x) - y) ** 2)
+
+    l0 = float(loss(params))
+    grad = jax.jit(jax.grad(loss))
+    for _ in range(50):
+        g = grad(params)
+        params = jax.tree_util.tree_map(lambda p, gg: p - 2.0 * gg, params, g)
+    assert float(loss(params)) < 0.1 * l0
+
+
+def test_qdense_w8a8_train_unquantizable_shape_falls_back():
+    """Shapes the int8 path cannot tile use the plain float matmul (exact
+    nn.Dense numerics), same static gate as the serving modes."""
+    from edm_tts_tpu.ops.qdense import QDense
+
+    dense = QDense(100, quantize="w8a8_train")  # N % 128 != 0
+    ref = QDense(100, quantize="none")
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 48), jnp.float32)
+    params = dense.init(jax.random.PRNGKey(1), x)
+    np.testing.assert_allclose(
+        np.asarray(dense.apply(params, x)),
+        np.asarray(ref.apply(params, x)), rtol=1e-6,
+    )

@@ -109,6 +109,50 @@ def test_batcher_respects_max_batch():
     assert sum(len(c[0]) for c in synth.calls) == 5
 
 
+def test_batcher_length_sorted_chunks():
+    """Backlog drain + length-aware chunking: with lookahead > 1 the worker
+    drains the queued backlog, sorts by gt_length, and cuts homogeneous
+    max_batch chunks — short requests stop riding long canvases
+    (scripts/profile_lengthmix.py measured 1.29x on a realistic mix)."""
+    synth = _FakeSynth()
+    synth.block.clear()  # hold the worker so all submits form one backlog
+    b = DynamicBatcher(synth, max_batch=2, max_wait_ms=200, lookahead=4)
+    lens = [500, 128, 500, 128, 500, 128, 500, 128]
+    futs = [b.submit(Request(str(i), "s", gt_length=g))
+            for i, g in enumerate(lens)]
+    synth.block.set()
+    for f in futs:
+        f.result(10)
+    b.close()
+    gt_calls = sorted(
+        tuple(sorted(int(t) for t in c[0])) for c in synth.calls
+    )
+    # chunks must be length-homogeneous: the 128s (reqs 1,3,5,7) together,
+    # the 500s (0,2,4,6) together, in max_batch=2 slices
+    by_len = {128: {1, 3, 5, 7}, 500: {0, 2, 4, 6}}
+    for call in gt_calls:
+        lengths = {lens[i] for i in call}
+        assert len(lengths) == 1, f"mixed-length chunk: {call}"
+        assert set(call) <= by_len[lengths.pop()]
+    assert all(len(c[0]) <= 2 for c in synth.calls)
+    assert sum(len(c[0]) for c in synth.calls) == 8
+
+
+def test_batcher_lookahead_1_unchanged():
+    """lookahead=1 reproduces the legacy behavior: no backlog drain, batch
+    window only."""
+    synth = _FakeSynth()
+    synth.block.clear()
+    b = DynamicBatcher(synth, max_batch=2, max_wait_ms=200, lookahead=1)
+    futs = [b.submit(Request(str(i), "s")) for i in range(5)]
+    synth.block.set()
+    for f in futs:
+        f.result(10)
+    b.close()
+    assert all(len(c[0]) <= 2 for c in synth.calls)
+    assert sum(len(c[0]) for c in synth.calls) == 5
+
+
 def test_batcher_failure_isolated_to_requests():
     synth = _FakeSynth(fail_speaker="bad")
     b = DynamicBatcher(synth, max_batch=4, max_wait_ms=50)
