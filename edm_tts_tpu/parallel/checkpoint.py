@@ -89,8 +89,30 @@ def export_model(path: str, params: Any, config_json: str | None = None) -> None
 
 
 def load_model_params(path: str, template: Any | None = None) -> Any:
+    """Restore an exported params pytree.
+
+    ``template`` leaves from ``jax.eval_shape`` carry ``sharding=None``;
+    orbax then falls back to the sharding recorded at save time, which
+    breaks cross-platform restores (a CPU-exported model loaded on the TPU
+    backend, or vice versa). Pin unsharded template leaves to the default
+    device so exports are portable across backends."""
+    item = os.path.join(os.path.abspath(path), "params")
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(os.path.join(os.path.abspath(path), "params"), template)
+    sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+    if template is None:
+        # build the template from the checkpoint's own shape/dtype metadata
+        template = jax.tree_util.tree_map(
+            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype),
+            ckptr.metadata(item).item_metadata,
+        )
+
+    def _with_sharding(x):
+        if isinstance(x, jax.ShapeDtypeStruct) and x.sharding is None:
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding)
+        return x
+
+    template = jax.tree_util.tree_map(_with_sharding, template)
+    return ckptr.restore(item, template)
 
 
 def detect_last_checkpoint(

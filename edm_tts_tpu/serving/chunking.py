@@ -85,7 +85,11 @@ def join_waveforms(
     of the two waveforms. Equal-power is the right law for splicing
     *uncorrelated* chunks (independent synthesis runs): the summed power
     stays flat through the joint, where a linear equal-gain ramp dips ~-3 dB
-    at the midpoint.
+    at the midpoint. For *correlated* joint content (sustained voiced audio
+    on both sides of a forced mid-sentence split) cos+sin peaks at sqrt(2),
+    which could overshoot +3 dB and hard-clip downstream writers — so the
+    blended region is renormalized by 1/max(1, peak) when it exceeds the
+    louder of the two inputs' own peaks (ADVICE r4).
     """
     wavs = [np.asarray(w, dtype=np.float32).reshape(-1) for w in wavs]
     if not wavs:
@@ -104,7 +108,15 @@ def join_waveforms(
             out = np.concatenate([out, w])
             continue
         theta = np.linspace(0.0, np.pi / 2, n, dtype=np.float32)
-        mixed = out[-n:] * np.cos(theta) + w[:n] * np.sin(theta)
+        a, b = out[-n:], w[:n]
+        mixed = a * np.cos(theta) + b * np.sin(theta)
+        # correlated-joint guard: equal-power sums to sqrt(2) gain when the
+        # two sides are in phase; keep the splice no hotter than its louder
+        # input so save_wav/_send_wav (both clip at +-1) never hard-clip it
+        in_peak = max(np.abs(a).max(), np.abs(b).max(), 1e-9)
+        peak = np.abs(mixed).max()
+        if peak > in_peak:
+            mixed *= in_peak / peak
         out = np.concatenate([out[:-n], mixed, w[n:]])
     return out
 

@@ -134,15 +134,21 @@ def main():
         ap.error("one of --text / --text_file is required")
 
     rng = jax.random.PRNGKey(args.seed)
-    k_t2s, k_s2a = jax.random.split(rng)
     ds = tokenizer.downsample_factor
 
-    def synthesize_group(texts_group: list[str]) -> list[np.ndarray]:
+    def synthesize_group(
+        texts_group: list[str], group_idx: int
+    ) -> list[np.ndarray]:
         """Run the staged (or fused) pipeline on one batch of utterances;
         returns per-utterance waveforms trimmed to their predicted lengths.
 
         Buckets the text length to a multiple of 32 so groups with similar
-        texts reuse the jitted sampler (static-shape canvas)."""
+        texts reuse the jitted sampler (static-shape canvas). The group
+        index is folded into the PRNG so every group of --long_batch chunks
+        draws a fresh sampling stream (ADVICE r4: reusing one key repeated
+        the identical noise every long_batch chunks across a document)."""
+        g_rng = jax.random.fold_in(rng, group_idx)
+        k_t2s, k_s2a = jax.random.split(g_rng)
         b = len(texts_group)
         byte_seqs = [[c + 5 for c in t.encode("utf-8")] for t in texts_group]
         lt = -(-max(len(s) for s in byte_seqs) // 32) * 32
@@ -161,7 +167,7 @@ def main():
             out = e2e_synthesize(
                 t2s_model, s2a_model, t2s_params, s2a_params,
                 text_tokens, text_lengths, prompt_acoustic, prompt_semantic,
-                rng,
+                g_rng,
                 pred_iters=args.pred_iters, steps=args.s2a_steps,
                 temperature=args.temperature,
                 max_speech_len=args.max_speech_len,
@@ -218,8 +224,8 @@ def main():
     # fresh XLA program for every distinct chunk count
     cap = max(1, args.long_batch) if args.long else len(texts)
     waves: list[np.ndarray] = []
-    for g in range(0, len(texts), cap):
-        waves.extend(synthesize_group(texts[g : g + cap]))
+    for gi, g in enumerate(range(0, len(texts), cap)):
+        waves.extend(synthesize_group(texts[g : g + cap], gi))
 
     if args.long:
         # join the chunk waveforms into ONE long-form output

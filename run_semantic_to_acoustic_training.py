@@ -171,8 +171,46 @@ def main():
         print("preprocessing ok;", {k: v.shape for k, v in b.items()})
         return
 
-    trainer = Trainer(args, loss_fn, params, frozen_mask=frozen)
-    trainer.train(train_iter)
+    # Held-out eval (beyond the reference recipe, which sets
+    # evaluation_strategy "no" — configs/injection_conformer/
+    # train_config.yaml:53 — but HF Trainer supports eval_dataset):
+    # fixed batches from a disjoint shard dir, deterministic mask draw per
+    # batch index so the eval masked-CE is comparable across eval points.
+    eval_iter, eval_fn = None, None
+    ev = raw.get("eval_dataset_args")
+    if ev:
+        import itertools
+
+        eval_iter = list(itertools.islice(
+            code_batch_iterator(
+                ev["data_dir"], segment_frames,
+                raw.get("per_device_eval_batch_size", 16) * jax.device_count(),
+                seed=args.seed + 1, use_pt=ev.get("format") == "pt",
+            ),
+            int(raw.get("eval_batches", 4)),
+        ))
+
+        @jax.jit
+        def eval_fn(p, batch):
+            out = model.apply(
+                p, batch["acoustic_tokens"], batch["semantic_tokens"],
+                mask_rng=jax.random.PRNGKey(args.seed + 2), train=False,
+            )
+            return {"loss": out["loss"]}
+
+    trainer = Trainer(args, loss_fn, params, frozen_mask=frozen,
+                      eval_fn=eval_fn)
+    state = trainer.train(train_iter, eval_iter)
+
+    # final-model export (HF Trainer checkpoints double as model dirs the
+    # reference's inference.py loads directly; our orbax train-state
+    # checkpoints don't, so publish an inference-loadable dir): params +
+    # config.json consumable by inference.py --s2a_model / hub.load_s2a.
+    from edm_tts_tpu.utils.hub import save_s2a
+
+    export_dir = os.path.join(args.output_dir, "export")
+    save_s2a(export_dir, model, jax.device_get(state.params))
+    print(f"exported inference-ready model to {export_dir}")
 
 
 if __name__ == "__main__":

@@ -127,8 +127,45 @@ def main():
         print("preprocessing ok;", {k: v.shape for k, v in b0.items()})
         return
 
-    trainer = Trainer(args, loss_fn, params)
-    trainer.train(train_iter)
+    # Held-out eval (beyond the reference recipe — evaluation_strategy "no"
+    # in configs/text_to_semantic_w_length/train_config.yaml — but HF
+    # Trainer supports eval_dataset): fixed batches from a disjoint shard
+    # dir, deterministic mask draw so eval CE is comparable across evals.
+    eval_iter, eval_fn = None, None
+    ev = raw.get("eval_dataset_args")
+    if ev:
+        import itertools
+
+        eval_iter = list(itertools.islice(
+            t2s_batch_iterator(
+                ev["data_dir"],
+                raw.get("per_device_eval_batch_size", 32) * jax.device_count(),
+                seed=args.seed + 1, use_pt=ev.get("format") == "pt",
+            ),
+            int(raw.get("eval_batches", 4)),
+        ))
+
+        @jax.jit
+        def eval_fn(p, batch):
+            out = model.apply(
+                p, batch["input_ids"], batch["attention_mask"],
+                batch["speech_mask"], batch["text_ids"],
+                batch["text_attention_mask"], batch["speech_lengths"],
+                mask_rng=jax.random.PRNGKey(args.seed + 2), train=False,
+            )
+            return {"loss": out["loss"], "ce_loss": out["ce_loss"],
+                    "length_loss": out["length_loss"]}
+
+    trainer = Trainer(args, loss_fn, params, eval_fn=eval_fn)
+    state = trainer.train(train_iter, eval_iter)
+
+    # final-model export: an inference-loadable dir (params + config.json)
+    # for inference.py --t2s_model / hub.load_t2s (the HF save_model analog)
+    from edm_tts_tpu.utils.hub import save_t2s
+
+    export_dir = os.path.join(args.output_dir, "export")
+    save_t2s(export_dir, model, jax.device_get(state.params))
+    print(f"exported inference-ready model to {export_dir}")
 
 
 if __name__ == "__main__":

@@ -4,12 +4,19 @@ Creates <out>/codec, <out>/hubert, <out>/s2a, <out>/t2s and prompt.flac —
 the full inference.py surface with random weights (structure-exact).
 """
 
+import os
 import sys
 
 sys.path.insert(0, ".")
 sys.path.insert(0, "tests")
 
 import jax
+
+# tiny models don't need the chip; EDM_TINY_CPU=1 skips the axon tunnel
+# (env JAX_PLATFORMS=cpu does not override the plugin — post-import
+# config.update does)
+if os.environ.get("EDM_TINY_CPU"):
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 

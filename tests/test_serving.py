@@ -281,9 +281,9 @@ def test_serve_cli_build(tiny_model_dirs):
         codec_model=str(tmp / "codec"), t2s_model=str(tmp / "t2s"),
         s2a_model=str(tmp / "s2a"), hubert_model=str(tmp / "hubert"),
         speaker=None, host="127.0.0.1", port=0, max_batch=4,
-        max_wait_ms=10.0, pred_iters=2, s2a_steps=2, temperature=1.0,
-        max_speech_len=16, dtype="float32", quantize="none",
-        quantize_t2s=None, quantize_s2a=None,
+        max_wait_ms=10.0, batch_lookahead=2, pred_iters=2, s2a_steps=2,
+        temperature=1.0, max_speech_len=16, dtype="float32",
+        quantize="none", quantize_t2s=None, quantize_s2a=None,
     )
     srv = serve.build_server(args).start()
     try:
