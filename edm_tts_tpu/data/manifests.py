@@ -58,10 +58,21 @@ def librispeech_manifest(data_dir: str, subset: str = "clean") -> Iterator[dict]
             with open(trans_path) as f:
                 for line in f:
                     utt_id, _, text = line.strip().partition(" ")
+                    # same normalized-text schema as libriheavy_manifest so
+                    # dumped shards feed t2s training (clean/no-punc forms +
+                    # utf-8 bytes; reference text_speech_codes_dataset.py
+                    # reads both byte streams)
+                    punc = clean_text(text)
+                    no_punc = normalize_text(text)
                     yield {
                         "id": utt_id,
                         "file": os.path.join(folder, utt_id + ".flac"),
-                        "transcription": text,
+                        "transcription": punc,
+                        "no_punc_transcription": no_punc,
+                        "transcription_bytes": list(punc.encode("utf-8")),
+                        "no_punc_transcription_bytes": list(
+                            no_punc.encode("utf-8")
+                        ),
                     }
 
 

@@ -98,13 +98,24 @@ def codec_audio_pipeline(
     shuffle: int = 10_000,
     seed: int = 42,
     repeat: bool = True,
+    prefetch_threads: int = 0,
 ) -> Iterator[np.ndarray]:
-    """Full codec-training example stream (one audio segment per yield)."""
+    """Full codec-training example stream (one audio segment per yield).
+
+    ``prefetch_threads > 0`` decodes FLAC windows ahead on the C++ thread
+    pool (data/native_prefetch.py) — the analog of the reference's
+    ``dataloader_num_workers: 32`` (/root/reference/run_codec_training.py:
+    216-252); decode overlaps the loudness/normalize python work AND the
+    device step (the pool releases the GIL)."""
     manifest = list(manifest)
 
     def one_pass(epoch_seed):
         examples = shuffle_buffer(iter(manifest), min(shuffle, max(len(manifest), 1)),
                                   seed=epoch_seed)
+        if prefetch_threads > 0:
+            from edm_tts_tpu.data.native_prefetch import prefetch_manifest
+
+            examples = prefetch_manifest(examples, n_threads=prefetch_threads)
         for ex in examples:
             for seg in load_audio_segments(ex, target_sr, segment_seconds):
                 a = seg["audio"]

@@ -47,6 +47,32 @@ from edm_tts_tpu.parallel.pipeline import (
 Array = jax.Array
 
 
+def _stacked_tp_constraint(stacked, mesh):
+    """Sharding-constrain the (S, lps, ...) stacked block params for tp x pp:
+    stage dim over ``pipe``, matmul dims over ``model`` per the same Megatron
+    rules as parallel/mesh.py::_tp_spec_for (dims offset by the two leading
+    stack dims). GSPMD then runs each stage's matmuls tensor-parallel inside
+    the manual pipe program (pipeline_apply ``auto={'model'}``)."""
+    from jax.sharding import NamedSharding
+    from edm_tts_tpu.parallel.mesh import _path_str, _tp_spec_for
+
+    n_model = mesh.shape.get("model", 1)
+
+    def pick(path, x):
+        spec = [PIPE_AXIS, None] + [None] * (x.ndim - 2)
+        if n_model > 1:
+            # reuse the flat-param rule on the unstacked trailing shape
+            flat = jax.ShapeDtypeStruct(x.shape[2:], x.dtype)
+            tp = _tp_spec_for("/block_0/" + _path_str(path), flat, n_model, 1)
+            if tp is not None:
+                spec[2:] = list(tp)
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P(*spec))
+        )
+
+    return jax.tree_util.tree_map_with_path(pick, stacked)
+
+
 def prepare_train_inputs(model, params, acoustic_tokens, semantic_tokens, mask):
     """The training front-end exactly as ``InjectionConformer.__call__``:
     masked encoder input + raw (cumsum) teacher injections ``(Qc, B, T, D)``."""
@@ -76,6 +102,7 @@ def pipelined_forward_logits(
     *,
     n_micro: int,
     micro_spec: P = P(),
+    auto: frozenset[str] = frozenset(),
 ) -> Array:
     """Teacher-forced training logits ``(B, Q, T, N)`` == the sequential
     ``forward_logits(enc_in, teacher_injections=teacher, train=...)`` (the
@@ -89,6 +116,10 @@ def pipelined_forward_logits(
     ``micro_spec`` composes dp x pp on a ``(pipe, data)`` mesh
     (parallel/pipeline.py::make_pipe_mesh): e.g. ``P(None, "data")``
     shards each microbatch's batch dim over every stage's data replicas.
+    ``auto={"model"}`` composes tp x pp on a ``(pipe, ..., "model")`` mesh:
+    stacked stage params get Megatron sharding constraints
+    (_stacked_tp_constraint) and GSPMD partitions each stage's matmuls
+    over ``model`` inside the manual pipe program.
     """
     cfg = model.cfg
     depth = cfg.encoder_num_layers
@@ -131,6 +162,8 @@ def pipelined_forward_logits(
     stacked = stack_stage_params(
         [stack_stage_params(blocks[s * lps : (s + 1) * lps]) for s in range(n_pipe)]
     )  # (S, lps, ...) per leaf
+    if auto:
+        stacked = _stacked_tp_constraint(stacked, mesh)
 
     micro = {
         "x": enc_in.reshape(n_micro, mb, t, h),
@@ -177,7 +210,7 @@ def pipelined_forward_logits(
 
     out = pipeline_apply(
         stage_fn, stacked, micro, mesh, side_inputs=side,
-        micro_spec=micro_spec, side_spec=micro_spec,
+        micro_spec=micro_spec, side_spec=micro_spec, auto=auto,
     )
     final = out["x"].reshape(b, t, h)
     coarse = out["coarse"].reshape(b, qc, t, h)

@@ -39,18 +39,27 @@ PIPE_AXIS = "pipe"
 Pytree = Any
 
 
-def make_pipe_mesh(n_pipe: int, n_data: int = 1, devices=None) -> Mesh:
-    """(pipe,) or (pipe, data) mesh. ``pipe`` is the outer axis: one stage's
-    devices (its data-parallel replicas) sit on adjacent ICI links, and the
-    per-tick activation hop crosses one link only."""
+def make_pipe_mesh(
+    n_pipe: int, n_data: int = 1, n_model: int = 1, devices=None
+) -> Mesh:
+    """(pipe[, data][, model]) mesh. ``pipe`` is the outer axis: one stage's
+    devices (its data-parallel replicas / tensor-parallel shards) sit on
+    adjacent ICI links, and the per-tick activation hop crosses one link
+    only; ``model`` is innermost so Megatron all-reduces ride the shortest
+    hops (same ordering rationale as parallel/mesh.py::make_mesh)."""
     devices = devices if devices is not None else jax.devices()
-    n = n_pipe * n_data
+    n = n_pipe * n_data * n_model
     assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
-    if n_data == 1:
+    shape, names = [n_pipe], [PIPE_AXIS]
+    if n_data > 1:
+        shape.append(n_data)
+        names.append("data")
+    if n_model > 1:
+        shape.append(n_model)
+        names.append("model")
+    if len(shape) == 1:
         return Mesh(np.asarray(devices[:n]), (PIPE_AXIS,))
-    return Mesh(
-        np.asarray(devices[:n]).reshape(n_pipe, n_data), (PIPE_AXIS, "data")
-    )
+    return Mesh(np.asarray(devices[:n]).reshape(shape), tuple(names))
 
 
 def stack_stage_params(per_stage: list[Pytree]) -> Pytree:
@@ -70,6 +79,7 @@ def pipeline_apply(
     micro_spec: P = P(),
     side_spec: P = P(),
     check_rep: bool = False,
+    auto: frozenset[str] = frozenset(),
 ) -> Pytree:
     """Run M microbatches through S pipeline stages.
 
@@ -104,6 +114,14 @@ def pipeline_apply(
     micro_spec shards the per-microbatch batch dim, side inputs whose
     per-stage slices combine elementwise with activations MUST be sharded
     the same way, or per-device batch dims disagree inside stage_fn.
+
+    auto: mesh axis names left to GSPMD (partial-auto shard_map). The pipe
+    schedule stays MANUAL (explicit ppermute hops); over ``auto`` axes the
+    compiler propagates whatever shardings the operands carry and inserts
+    the collectives — this is how tensor parallelism composes with the
+    pipe: shard the stacked stage params' matmul dims over a ``model``
+    axis (with_sharding_constraint) and list ``model`` here, and each
+    stage's matmuls run Megatron-style without stage_fn changing.
 
     Returns the stage-(S-1) outputs, (M, ...) per leaf, replicated across
     ``pipe`` (and sharded per ``micro_spec`` over the other axes).
@@ -177,6 +195,24 @@ def pipeline_apply(
         # tick t delivers microbatch t-(S-1) out of the last stage
         return jax.tree_util.tree_map(lambda y: y[n_pipe - 1 :], ys)
 
+    if auto:
+        # partial-auto (jax.shard_map axis_names=): the pipe schedule (and
+        # any data axis) stays manual; axes in ``auto`` are left to GSPMD,
+        # which partitions each stage's matmuls per the operands' shardings.
+        manual = frozenset(mesh.axis_names) - frozenset(auto)
+        if side_inputs is None:
+            return jax.shard_map(
+                lambda p, xs: run(p, xs, None),
+                mesh=mesh, axis_names=manual,
+                in_specs=(P(PIPE_AXIS), micro_spec),
+                out_specs=micro_spec, check_vma=check_rep,
+            )(stacked_params, micro_inputs)
+        return jax.shard_map(
+            run,
+            mesh=mesh, axis_names=manual,
+            in_specs=(P(PIPE_AXIS), micro_spec, side_spec),
+            out_specs=micro_spec, check_vma=check_rep,
+        )(stacked_params, micro_inputs, side_inputs)
     if side_inputs is None:
         return shard_map(
             lambda p, xs: run(p, xs, None),

@@ -186,6 +186,11 @@ class GANTrainer:
         return self.g_state, self.d_state
 
     def evaluate(self, eval_iter: Iterable, log_audio_step: int | None = None) -> dict:
+        # a zero-arg factory yields a FRESH pass per eval; a bare generator
+        # would be consumed by the first eval and silently NaN later ones
+        # (real bug: the closed-loop rehearsal's step-200 eval)
+        if callable(eval_iter):
+            eval_iter = eval_iter()
         losses = []
         last_recon = last_real = None
         for audio in eval_iter:

@@ -20,6 +20,9 @@ from edm_tts_tpu.utils.bucketing import bucket_length  # re-export (CLI API)
 
 
 def main():
+    from edm_tts_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()  # EDM_PLATFORM=cpu overrides the axon plugin
     ap = argparse.ArgumentParser()
     ap.add_argument("-s", "--speaker_prompt", required=True)
     ap.add_argument("-t", "--text", default=None)

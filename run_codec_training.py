@@ -31,6 +31,9 @@ class DataArguments:
     shuffle_buffer_size: int = 10000
     validation_split: int = 16
     preprocessing_only: bool = False
+    # reference dataloader_num_workers (train_config.yaml: 32 torch workers);
+    # here: C++ FLAC-decode pool threads (0 = sync decode in the host loop)
+    dataloader_num_workers: int = 0
 
 
 def build_pipeline(data_args: DataArguments, sample_rate: int, batch_size: int,
@@ -55,6 +58,7 @@ def build_pipeline(data_args: DataArguments, sample_rate: int, batch_size: int,
             normalize_dbfs=data_args.volume_normalize,
             shuffle=data_args.shuffle_buffer_size,
             seed=seed,
+            prefetch_threads=data_args.dataloader_num_workers,
         ),
         batch_size,
         stack=collate_codec_audio,
@@ -80,6 +84,9 @@ def build_pipeline(data_args: DataArguments, sample_rate: int, batch_size: int,
 
 
 def main():
+    from edm_tts_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()  # EDM_PLATFORM=cpu overrides the axon plugin
     from edm_tts_tpu.models.codec import Codec, CodecConfig
     from edm_tts_tpu.models.codec.discriminator import (
         Discriminator,
@@ -122,6 +129,7 @@ def main():
         shuffle_buffer_size=raw.get("shuffle_buffer_size", 10000),
         validation_split=raw.get("validation_split", 16),
         preprocessing_only=raw.get("preprocessing_only", False),
+        dataloader_num_workers=raw.get("dataloader_num_workers", 0),
     )
 
     codec = Codec(gen_cfg)
@@ -151,7 +159,9 @@ def main():
         train_args, codec, disc, g_params, d_params, recon,
         lambdas=raw.get("lambdas"),
     )
-    trainer.train(train_iter, val_iter(), config_json=gen_cfg.to_json())
+    # pass the FACTORY: each eval pass re-builds the val stream (a one-shot
+    # generator would leave every eval after the first empty -> NaN mel)
+    trainer.train(train_iter, val_iter, config_json=gen_cfg.to_json())
 
 
 if __name__ == "__main__":

@@ -45,6 +45,9 @@ def code_batch_iterator(shard_dir, segment_frames, batch_size, seed, use_pt=Fals
 
 
 def main():
+    from edm_tts_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()  # EDM_PLATFORM=cpu overrides the axon plugin
     from edm_tts_tpu.models.codec import CodecConfig
     from edm_tts_tpu.models.s2a import InjectionConformer, S2AConfig
     from edm_tts_tpu.train.optim import freeze_subtree_mask

@@ -38,6 +38,9 @@ def t2s_batch_iterator(shard_dir, batch_size, seed, use_pt=False):
 
 
 def main():
+    from edm_tts_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()  # EDM_PLATFORM=cpu overrides the axon plugin
     from edm_tts_tpu.models.t2s import T2SConfig, TextToSemantic
     from edm_tts_tpu.train.trainer import Trainer, TrainingArguments
     from edm_tts_tpu.utils.config import load_yaml

@@ -47,6 +47,9 @@ def build_server(args):
 
 
 def main():
+    from edm_tts_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()  # EDM_PLATFORM=cpu overrides the axon plugin
     ap = argparse.ArgumentParser()
     ap.add_argument("--codec_model", default="exp/edm_tts/dac/best_model")
     ap.add_argument("--t2s_model",

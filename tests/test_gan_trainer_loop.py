@@ -76,3 +76,26 @@ def test_gan_trainer_train_eval_export_resume(tmp_path):
     codec, params = load_codec(str(out / "best_model"))
     audio = codec.apply(params, jnp.zeros((1, 640, 1)))["audio"]
     assert audio.shape == (1, 640, 1)
+
+
+def test_gan_trainer_repeated_eval_with_generator_factory(tmp_path):
+    """Regression (closed-loop rehearsal bug): eval_iter as a zero-arg
+    FACTORY of one-shot generators must give a finite mel loss at EVERY
+    eval step — a bare generator was silently consumed by the first eval,
+    and every later eval logged NaN."""
+    import json
+
+    out = tmp_path / "gan_multi_eval"
+    trainer = _trainer(out, max_steps=4)  # eval_steps=2 -> evals at 2 and 4
+
+    def eval_factory():
+        it = _audio_iter()
+        return (next(it) for _ in range(1))  # one-shot generator per call
+
+    trainer.train(_audio_iter(), eval_factory, config_json=TINY_CODEC.to_json())
+    evals = [
+        json.loads(l) for l in open(out / "metrics.jsonl")
+        if "eval/mel_loss" in l
+    ]
+    assert [e["step"] for e in evals] == [2, 4]
+    assert all(np.isfinite(e["eval/mel_loss"]) for e in evals), evals

@@ -143,3 +143,46 @@ def test_pipelined_s2a_composes_with_data_parallel():
     for a, b in zip(jax.tree_util.tree_leaves(g_d),
                     jax.tree_util.tree_leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+def test_pipelined_s2a_composes_with_tensor_parallel():
+    """tp x pp: the same pipe program on a (pipe=4, model=2) mesh with the
+    stacked stage params Megatron-sharded over ``model`` (partial-auto
+    shard_map, GSPMD partitions each stage's matmuls) matches the
+    sequential logits, loss and grads."""
+    model, params, ac, sem, mask = _setup()
+    enc_in, teacher = prepare_train_inputs(model, params, ac, sem, mask)
+    ref = model.apply(
+        params, enc_in, teacher_injections=teacher, method="forward_logits"
+    )
+    mesh = make_pipe_mesh(4, n_model=2)
+    auto = frozenset({"model"})
+    logits = jax.jit(
+        lambda p, e, tch: pipelined_forward_logits(
+            model, p, e, tch, mesh, n_micro=M, auto=auto
+        )
+    )(params, enc_in, teacher)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref), atol=2e-5)
+
+    def loss_tpp(p):
+        enc, tch = prepare_train_inputs(model, p, ac, sem, mask)
+        lg = pipelined_forward_logits(
+            model, p, enc, tch, mesh, n_micro=M, auto=auto
+        )
+        targets = ac.astype(jnp.int32)
+        loss_mask = jnp.broadcast_to(mask[:, None, :], targets.shape)
+        return masked_cross_entropy(lg, targets, loss_mask)
+
+    def loss_seq(p):
+        out = model.apply(
+            p, ac, sem, mask_rng=jax.random.PRNGKey(9), mask_override=mask,
+            train=False,
+        )
+        return out["loss"]
+
+    l_ref, g_ref = jax.value_and_grad(loss_seq)(params)
+    l_t, g_t = jax.jit(jax.value_and_grad(loss_tpp))(params)
+    np.testing.assert_allclose(float(l_t), float(l_ref), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g_t),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)

@@ -15,6 +15,10 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
+
+# runnable as a bare CLI from anywhere: put the repo root on sys.path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def load_hf_state_dict(hf_dir: str) -> dict:

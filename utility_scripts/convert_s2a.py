@@ -20,8 +20,12 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import json
 import os
+import sys
+
+# runnable as a bare CLI from anywhere: put the repo root on sys.path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import json
 
 from convert_dac import load_torch_state_dict
 

@@ -17,6 +17,11 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+# runnable as a bare CLI from anywhere: put the repo root on sys.path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import jax
@@ -24,6 +29,9 @@ import numpy as np
 
 
 def main():
+    from edm_tts_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()  # EDM_PLATFORM=cpu overrides the axon plugin
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset", choices=["librilight", "libriheavy", "librispeech"],
                     required=True)

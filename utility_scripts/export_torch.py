@@ -23,9 +23,13 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+# runnable as a bare CLI from anywhere: put the repo root on sys.path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import dataclasses
 import json
-import os
 
 
 def _write(output: str, state: dict, config: dict) -> None:

@@ -16,6 +16,10 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
+
+# runnable as a bare CLI from anywhere: put the repo root on sys.path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -23,6 +27,9 @@ import numpy as np
 
 
 def main():
+    from edm_tts_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()  # EDM_PLATFORM=cpu overrides the axon plugin
     ap = argparse.ArgumentParser()
     ap.add_argument("--data_dir", required=True)
     ap.add_argument("--subset", default="train-clean-100")
@@ -46,6 +53,9 @@ def main():
 
     tok, params = load_semantic_tokenizer(args.hubert_model,
                                           output_layer=args.output_layer)
+    # tok clamps output_layer to the model depth (tiny rehearsal exports
+    # have < 18 layers); use the clamped value everywhere below
+    output_layer = tok.output_layer
 
     target = args.k * args.frames_per_cluster
     feats: list[np.ndarray] = []
@@ -55,7 +65,7 @@ def main():
     def features(audio):
         x = normalize_input(audio)
         return tok.model.apply(params["hubert"] if "hubert" in params else params,
-                               x, output_layer=args.output_layer)
+                               x, output_layer=output_layer)
 
     max_samples = int(args.max_seconds * 16000)
     for ex in librispeech_manifest(args.data_dir, args.subset):
