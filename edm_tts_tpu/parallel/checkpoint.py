@@ -30,6 +30,20 @@ import orbax.checkpoint as ocp
 CHECKPOINT_PREFIX = "checkpoint_"
 
 
+def _to_host(tree: Any) -> Any:
+    """Pull a pytree to host numpy before handing it to orbax.
+
+    Orbax's async per-array device->host copies can DEADLOCK on the axon
+    TPU backend at real state sizes (observed live: a 464M-param s2a
+    train-state save wedged forever at step 800 — the plugin does not
+    implement the synchronization its awaits rely on; CLAUDE.md documents
+    the same gap for ``block_until_ready``). ``jax.device_get`` is the one
+    D2H primitive known-good on this backend; after it, orbax is purely
+    disk-bound. On CPU backends the pull is (near) zero-copy, so tests and
+    exports pay nothing."""
+    return jax.device_get(tree)
+
+
 class CheckpointManager:
     """Step-indexed train-state checkpoints with metadata and retention."""
 
@@ -46,7 +60,7 @@ class CheckpointManager:
         )
 
     def save(self, step: int, state: Any, metadata: dict | None = None) -> None:
-        args = {"state": ocp.args.StandardSave(state)}
+        args = {"state": ocp.args.StandardSave(_to_host(state))}
         if metadata is not None:
             args["metadata"] = ocp.args.JsonSave(metadata)
         self._mngr.save(step, args=ocp.args.Composite(**args))
@@ -81,7 +95,7 @@ def export_model(path: str, params: Any, config_json: str | None = None) -> None
     """Best-model export: params + config.json (``save_pretrained`` analog)."""
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(os.path.join(path, "params"), params, force=True)
+    ckptr.save(os.path.join(path, "params"), _to_host(params), force=True)
     ckptr.wait_until_finished()
     if config_json is not None:
         with open(os.path.join(path, "config.json"), "w") as f:

@@ -260,17 +260,40 @@ class Trainer:
             meta.update(extra_meta)
         self.ckpt.save(step, self.state, meta)
 
+    def _release_state_for_restore(self):
+        """Swap the live train state for an abstract template and FREE its
+        device buffers. Restoring with a concrete template transiently
+        holds TWO copies of the state in HBM (plus fragmentation holes from
+        the interleaved free/alloc) — observed live: the 464M s2a resume
+        OOM'd its first post-restore step while a fresh run of the same
+        recipe fits. Orbax restores into ShapeDtypeStruct templates with
+        shardings directly, so the old buffers can be dropped up front."""
+        abstract = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+            if isinstance(x, jax.Array) else x,
+            self.state,
+        )
+        jax.tree_util.tree_map(
+            lambda x: x.delete() if isinstance(x, jax.Array) else None,
+            self.state,
+        )
+        self.state = None
+        return abstract
+
     def maybe_resume(self) -> int:
         args = self.args
         step = None
         if args.resume_from_checkpoint:
             mgr = CheckpointManager(args.resume_from_checkpoint, None)
-            self.state, meta = mgr.restore(template=self.state)
+            self.state, meta = mgr.restore(
+                template=self._release_state_for_restore()
+            )
             step = meta.get("step", mgr.latest_step())
         elif not args.overwrite_output_dir:
             latest = self.ckpt.latest_step()
             if latest is not None:
-                self.state, meta = self.ckpt.restore(latest, template=self.state)
+                template = self._release_state_for_restore()
+                self.state, meta = self.ckpt.restore(latest, template=template)
                 step = meta.get("step", latest)
                 logger.info("resumed from checkpoint step %s", step)
         return int(step or 0)

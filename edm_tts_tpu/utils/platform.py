@@ -17,7 +17,19 @@ import os
 def apply_platform_env(var: str = "EDM_PLATFORM") -> str | None:
     """Force the jax platform from ``$EDM_PLATFORM`` (e.g. ``cpu``) if set;
     returns the applied value. Must run before any computation (platform
-    choice is latched at backend init, not at import)."""
+    choice is latched at backend init, not at import).
+
+    Also registers SIGUSR1 to dump all thread stacks to stderr
+    (``kill -USR1 <pid>``): the axon tunnel can wedge a long-running
+    training process mid-transfer, and a live stack dump is the only way
+    to see where without killing the run."""
+    import faulthandler
+    import signal
+
+    try:
+        faulthandler.register(signal.SIGUSR1, all_threads=True)
+    except (AttributeError, ValueError):  # non-main thread / no SIGUSR1
+        pass
     value = os.environ.get(var)
     if value:
         import jax
